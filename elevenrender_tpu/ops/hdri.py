@@ -1,0 +1,147 @@
+"""HDRI environment sampling on device.
+
+TPU-native equivalent of /root/reference/src/HDRI.cpp:85-133 plus the env
+fetch in the megakernel (kernel.cpp:517-522, 543-567):
+
+- CDF inversion with the reference's exact (quirky) binary search — it can
+  land one texel off for non-exact values (HDRI.cpp:85-98); we vectorize
+  the same loop so the sampled texel stream matches.
+- solid-angle pdf with sin(theta) (HDRI.cpp:101-107).
+- env radiance fetch by direction via spherical mapping.
+
+The HDRI image is kept as its own [H, W, 3] array (not in the texture
+atlas): it is the single most-fetched table and benefits from direct 2-D
+indexing, and it is a differentiable leaf for inverse rendering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .texture import spherical_mapping
+
+
+def pack_hdri(hdri) -> dict:
+    """Host HDRI -> device dict {img [H,W,3], cdf [H*W+1], rsum, filter}."""
+    img = hdri.texture.data
+    if img.shape[2] < 3:
+        img = np.repeat(img[:, :, :1], 3, axis=2)
+    return {
+        "img": jnp.asarray(img[:, :, :3].astype(np.float32)),
+        "cdf": jnp.asarray(hdri.cdf.astype(np.float32)),
+        "rsum": jnp.asarray(np.float32(hdri.radiance_sum)),
+    }
+
+
+def binary_search_host(arr: np.ndarray, value: float, length: int) -> int:
+    """Scalar oracle of HDRI::binarySearch (HDRI.cpp:85-98)."""
+    frm, to = 0, length - 1
+    while to - frm > 0:
+        m = frm + (to - frm) // 2
+        if value == arr[m]:
+            return m
+        if value < arr[m]:
+            to = m - 1
+        if value > arr[m]:
+            frm = m + 1
+    return to
+
+
+def binary_search(cdf, value, length: int):
+    """Vectorized parity implementation of the reference binary search.
+
+    value: [...] floats.  Returns [...] int32 flat pixel index.
+    The loop is bounded by ceil(log2(length)) + 2 iterations.
+    """
+    iters = int(np.ceil(np.log2(max(length, 2)))) + 2
+    frm = jnp.zeros_like(value, jnp.int32)
+    to = jnp.full_like(frm, length - 1)
+
+    def body(_, carry):
+        frm, to = carry
+        active = (to - frm) > 0
+        m = frm + (to - frm) // 2
+        vm = cdf[jnp.clip(m, 0, length - 1)]
+        eq = value == vm
+        lt = value < vm
+        gt = value > vm
+        new_to = jnp.where(lt, m - 1, to)
+        new_frm = jnp.where(gt, m + 1, frm)
+        # 'eq' returns m: encode by collapsing the interval onto m.
+        new_frm = jnp.where(eq, m, new_frm)
+        new_to = jnp.where(eq, m, new_to)
+        frm = jnp.where(active, new_frm, frm)
+        to = jnp.where(active, new_to, to)
+        return frm, to
+
+    frm, to = jax.lax.fori_loop(0, iters, body, (frm, to))
+    return to
+
+
+def sample_env(env, r1):
+    """HDRI::sample (HDRI.cpp:109-117): CDF inversion -> (x, y) texel.
+
+    Keeps the reference's one-off quirk: its binary search returns ``to``,
+    which for most values lands one texel past the CDF step
+    (HDRI.cpp:85-98).  The estimator stays consistent because pdf() and the
+    radiance fetch use the same shifted texel; it is simply importance
+    sampling under a one-texel-shifted map.
+    """
+    H, W, _ = env["img"].shape
+    count = binary_search(env["cdf"], r1, H * W)
+    x = count % W
+    y = count // W
+    return x, y
+
+
+def sample_env_exact(env, r1):
+    """Native-mode inversion: pixel i is chosen iff cdf[i] <= r < cdf[i+1]
+    (exact proportional sampling, no one-off)."""
+    H, W, _ = env["img"].shape
+    count = jnp.clip(
+        jnp.searchsorted(env["cdf"], r1, side="right").astype(jnp.int32) - 1,
+        0, H * W - 1)
+    return count % W, count // W
+
+
+def env_pdf(env, x, y, center: bool = False):
+    """HDRI::pdf (HDRI.cpp:101-107).
+
+    ``center=False`` keeps the reference's texel-corner theta, which is
+    singular at y=0 (sin 0); native mode passes center=True to evaluate at
+    the texel center — finite everywhere, and the correct convention for a
+    piecewise-constant equirect map.
+    """
+    H, W, _ = env["img"].shape
+    val = env["img"][jnp.clip(y, 0, H - 1), jnp.clip(x, 0, W - 1)]
+    yf = y.astype(jnp.float32) + (0.5 if center else 0.0)
+    theta = (yf / jnp.float32(H)) * jnp.pi
+    lum = val[..., 0] + val[..., 1] + val[..., 2]
+    return (lum / env["rsum"]) * W * H / (2.0 * jnp.pi * jnp.sin(theta))
+
+
+def balance_heuristic(a, b):
+    """a/(a+b), robust to a or b being 0 or inf (but not both inf)."""
+    ratio = b / jnp.maximum(a, 1e-12)
+    return jnp.where(a > 0.0, 1.0 / (1.0 + ratio), 0.0)
+
+
+def env_fetch_uv(env, u, v):
+    """getValueFromUV on the HDRI image (nearest, truncating)."""
+    H, W, _ = env["img"].shape
+    x = jnp.trunc(u * W).astype(jnp.int32)
+    y = jnp.trunc(v * H).astype(jnp.int32)
+    # C-style wrap + abs like fetch_texel.
+    x = jnp.abs(x) % W
+    y = jnp.abs(y) % H
+    return env["img"][y, x]
+
+
+def env_radiance(env, direction):
+    """Environment lookup on ray miss (kernel.cpp:517-522): spherical-map
+    the negated direction, nearest fetch (HDRI textures are NO_FILTER)."""
+    u, v = spherical_mapping(-direction)
+    return env_fetch_uv(env, u, v)

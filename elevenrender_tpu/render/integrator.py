@@ -1,0 +1,318 @@
+"""The path-tracing integrator: one progressive sample over all pixels.
+
+TPU-native replacement for the SYCL megakernel
+(/root/reference/src/kernel.cpp:477-646 renderingKernel).  Instead of one
+thread per pixel with divergent control flow, the whole image is a flat
+wavefront of rays advanced in lockstep; every branch of the reference
+becomes a lane mask, so the program is pure vector arithmetic + gathers
+that XLA fuses and schedules on the VPU, with the BVH walk as the only
+while_loop.
+
+Parity notes (compat=True replicates reference quirks bit-for-bit in
+structure — see each site):
+- RNG draw order per pixel/sample: 5 camera draws, then per bounce
+  1 opacity draw + (3+1) sampling draws only on the shaded path
+  (kernel.cpp:492-545; C++ arg evaluation assumed left-to-right).
+- env is added unweighted both via NEE and on BRDF-ray miss — the
+  reference computes MIS weights but never applies them
+  (kernel.cpp:569-575); compat keeps that, native applies balance
+  heuristic MIS and adds point-light NEE (the reference's pointLight()
+  is dead code, kernel.cpp:269-301).
+- roughness/metallic are raised to 2.2 after fetch (kernel.cpp:151-153).
+- progressive average starts at sample count 1 (setupKernel,
+  kernel.cpp:202), so compat images converge to sum/(N+1); native starts
+  at 0.
+- NaN samples are discarded entirely (kernel.cpp:600) but still advance
+  the RNG (kernel.cpp:645).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng as rng_mod
+from ..core.vecmath import dot, normalize, vec3, where3
+from ..ops import bvh as bvh_ops
+from ..ops import hdri as hdri_ops
+from ..ops.disney import disney_eval, disney_pdf, disney_sample
+from ..ops.intersect import full_hit, gather_tri
+from ..ops.texture import (reverse_spherical_mapping, sample_filtered,
+                           sample_nearest, spherical_mapping)
+from . import shaders as shader_registry
+
+# Pass indices (kernel.h:8).
+BEAUTY, DENOISE, NORMAL, TANGENT, BITANGENT = range(5)
+PASSES_COUNT = 5
+
+
+def init_state(config) -> dict:
+    """Fresh accumulation state (setupKernel, kernel.cpp:176-213)."""
+    npix = config.x_res * config.y_res
+    passes = jnp.zeros((PASSES_COUNT, npix, 4), jnp.float32)
+    passes = passes.at[:, :, 3].set(1.0)
+    samples0 = 1 if config.compat else 0
+    return {
+        "passes": passes,
+        "samples": jnp.full((npix,), samples0, jnp.uint32),
+        "rng": rng_mod.init_state(jnp.arange(npix, dtype=jnp.uint32)),
+    }
+
+
+def _trace(config, ir, ray_o, ray_d):
+    """Nearest-hit query (throwRay, kernel.cpp:218-240)."""
+    if config.use_bvh:
+        return bvh_ops.traverse(ir["bvh"], ir["tris"]["verts"], ray_o, ray_d,
+                                depth=config.bvh_depth,
+                                max_leaf=config.bvh_max_leaf)
+    return bvh_ops.brute_force(ir["tris"]["verts"], ray_o, ray_d)
+
+
+def _generate_hitdata(config, ir, hit, ray_d):
+    """generateHitData (kernel.cpp:76-172): texture-or-constant fetch per
+    channel, tangent-space normal mapping, the ^2.2 quirk."""
+    mats = ir["materials"]
+    atlas = ir["atlas"]
+    m = hit["mat"]
+    tex = mats["tex"][m]  # [..., 7] slot order: see MAP_SLOT_ORDER
+    tu, tv = hit["tu"], hit["tv"]
+
+    def tex_rgb(slot, fallback_rgb):
+        tid = tex[..., slot]
+        val = sample_filtered(atlas, jnp.maximum(tid, 0), tu, tv)
+        return where3(tid >= 0, val, fallback_rgb)
+
+    def tex_x(slot, fallback):
+        tid = tex[..., slot]
+        val = sample_filtered(atlas, jnp.maximum(tid, 0), tu, tv)[..., 0]
+        return jnp.where(tid >= 0, val, fallback)
+
+    hd = {}
+    hd["albedo"] = tex_rgb(0, mats["albedo"][m])
+    hd["emission"] = tex_rgb(1, mats["emission"][m])
+    hd["roughness"] = tex_x(2, mats["roughness"][m])
+    hd["metallic"] = tex_x(3, mats["metallic"][m])
+    hd["opacity"] = tex_x(5, mats["opacity"][m])
+    hd["transmission"] = tex_x(6, mats["transmission"][m])
+
+    # Normal mapping (kernel.cpp:135-149): nearest fetch, y flipped.
+    ntid = tex[..., 4]
+    ncolor = sample_nearest(atlas, jnp.maximum(ntid, 0), tu, tv)
+    local_n = ncolor * 2.0 - 1.0
+    world_n = normalize(local_n[..., 0:1] * hit["tangent"]
+                        - local_n[..., 1:2] * hit["bitangent"]
+                        + local_n[..., 2:3] * hit["normal"])
+    hd["normal"] = where3(ntid >= 0, world_n, hit["normal"])
+
+    # Reference gamma quirk (kernel.cpp:151-153).
+    hd["roughness"] = jnp.power(hd["roughness"], 2.2)
+    hd["metallic"] = jnp.power(hd["metallic"], 2.2)
+
+    for k in ("clearcoat", "anisotropic", "eta", "specular",
+              "subsurface", "sheen"):
+        hd[k] = mats[k][m]
+    hd["clearcoatGloss"] = mats["clearcoat_gloss"][m]
+    hd["specularTint"] = mats["specular_tint"][m]
+    hd["sheenTint"] = mats["sheen_tint"][m]
+
+    hd["gnormal"] = hit["gnormal"]
+    hd["tangent"] = hit["tangent"]
+    hd["bitangent"] = hit["bitangent"]
+    hd["position"] = hit["position"]
+
+    # ASL-analog programmable albedo (kernel.cpp:530-536).
+    shader_id = mats["shader"][m]
+    hd["albedo"] = shader_registry.apply_shaders(
+        shader_id, hd["albedo"], hit["position"], ray_d, hd["normal"],
+        hit["gnormal"], tu, tv)
+    return hd
+
+
+def _point_light_nee(config, ir, hd, wo, state_rng, shade):
+    """Native-mode point-light NEE (the reference's is dead code,
+    kernel.cpp:269-301).  Uniformly picks one light; the 1/N choice pdf
+    cancels against the N multiplier.  Delta lights carry no MIS."""
+    state_rng, r_l = rng_mod.next_float_masked(state_rng, shade)
+    n_l = config.n_lights
+    li = jnp.clip((r_l * n_l).astype(jnp.int32), 0, n_l - 1)
+    lpos = ir["lights"]["pos"][li]
+    lrad = ir["lights"]["rad"][li]
+    to_light = lpos - hd["position"]
+    dist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 1e-12))
+    wi = to_light / dist[..., None]
+    s_o = hd["position"] + wi * 1e-3
+    s_idx, s_t = _trace(config, ir, s_o, wi)
+    occluded = (s_idx >= 0) & (s_t < dist - 1e-3)
+    f = disney_eval(hd, wo, hd["normal"], wi)
+    contrib = (lrad / (dist * dist)[..., None]) * f * \
+        jnp.abs(dot(wi, hd["normal"]))[..., None] * float(n_l)
+    contrib = where3(shade & ~occluded, contrib, jnp.zeros_like(contrib))
+    return state_rng, contrib
+
+
+def render_sample(config, ir, state) -> dict:
+    """Advance the accumulators by ONE progressive sample for every pixel.
+
+    The jitted unit of work; the launch loop (renderer.py) replaces the
+    reference's one-queue-submit-per-sample (kernel.cpp:689-699).
+    """
+    x_res, y_res = config.x_res, config.y_res
+    npix = x_res * y_res
+    rng = state["rng"]
+
+    idx = jnp.arange(npix, dtype=jnp.int32)
+    px = idx % x_res
+    py = idx // x_res
+
+    rng, r1 = rng_mod.next_float(rng)
+    rng, r2 = rng_mod.next_float(rng)
+    rng, r3 = rng_mod.next_float(rng)
+    rng, r4 = rng_mod.next_float(rng)
+    rng, r5 = rng_mod.next_float(rng)
+    from ..ops.camera import camera_ray
+    cam = dict(ir["camera"])
+    cam["bokeh"] = config.bokeh
+    ray_o, ray_d = camera_ray(cam, x_res, y_res, px, py, r1, r2, r3, r4, r5)
+
+    light = jnp.zeros((npix, 3), jnp.float32)
+    reduction = jnp.ones((npix, 3), jnp.float32)
+    aov_normal = jnp.zeros((npix, 3), jnp.float32)
+    aov_tangent = jnp.zeros((npix, 3), jnp.float32)
+    aov_bitangent = jnp.zeros((npix, 3), jnp.float32)
+    alive = jnp.ones((npix,), bool)
+    env = ir["env"]
+    H, W, _ = env["img"].shape
+    # Native MIS: brdf pdf of the previous bounce's sampled direction.
+    prev_brdf_pdf = jnp.zeros((npix,), jnp.float32)
+    had_bounce = jnp.zeros((npix,), bool)
+
+    for bounce in range(config.max_bounces):
+        hit_idx, hit_t = _trace(config, ir, ray_o, ray_d)
+
+        miss = alive & (hit_idx < 0)
+        env_val = hdri_ops.env_radiance(env, ray_d)
+        if config.compat:
+            env_w = jnp.ones((npix,), jnp.float32)
+        else:
+            # Balance-heuristic weight for the BRDF-sampled env hit.
+            u, v = spherical_mapping(-ray_d)
+            ex = jnp.trunc(u * W).astype(jnp.int32) % W
+            ey = jnp.trunc(v * H).astype(jnp.int32) % H
+            hpdf = hdri_ops.env_pdf(env, ex, ey, center=True)
+            bw = hdri_ops.balance_heuristic(prev_brdf_pdf, hpdf)
+            env_w = jnp.where(had_bounce, bw, 1.0)
+        light = light + where3(miss, reduction * env_val * env_w[..., None],
+                               jnp.zeros_like(light))
+        alive = alive & ~miss
+
+        tri = gather_tri(ir["tris"], jnp.maximum(hit_idx, 0))
+        hit = full_hit(ray_o, ray_d, tri)
+        hd = _generate_hitdata(config, ir, hit, ray_d)
+
+        rng, r_op = rng_mod.next_float_masked(rng, alive)
+        shade = alive & (r_op <= hd["opacity"])
+        pass_thru = alive & ~shade
+
+        rng, r_hdri = rng_mod.next_float_masked(rng, shade)
+        rng, rs1 = rng_mod.next_float_masked(rng, shade)
+        rng, rs2 = rng_mod.next_float_masked(rng, shade)
+        rng, rs3 = rng_mod.next_float_masked(rng, shade)
+
+        wo = -ray_d
+        n = hd["normal"]
+
+        # --- HDRI NEE (kernel.cpp:543-567) ------------------------------
+        if config.compat:
+            sx, sy = hdri_ops.sample_env(env, r_hdri)
+            nu = sx.astype(jnp.float32) / jnp.float32(W)
+            nv = sy.astype(jnp.float32) / jnp.float32(H)
+        else:
+            sx, sy = hdri_ops.sample_env_exact(env, r_hdri)
+            # Texel centers: finite pdf at the poles, same texel on fetch.
+            nu = (sx.astype(jnp.float32) + 0.5) / jnp.float32(W)
+            nv = (sy.astype(jnp.float32) + 0.5) / jnp.float32(H)
+        wihdri = -normalize(reverse_spherical_mapping(nu, nv))
+
+        shadow_o = hd["position"] + n * 1e-3
+        s_idx, _ = _trace(config, ir, shadow_o, wihdri)
+        occluded = (s_idx >= 0) & (s_idx != hit_idx)
+        hdri_val = hdri_ops.env_fetch_uv(env, nu, nv)
+        hdri_val = where3(occluded, jnp.zeros_like(hdri_val), hdri_val)
+        f_nee = disney_eval(hd, wo, n, wihdri)
+        if config.compat:
+            # Reference divides by the raw corner-pdf (NaN on zero-radiance
+            # texels, later discarded by the NaN guard) with no MIS weight.
+            hdri_pdf = hdri_ops.env_pdf(env, sx, sy)
+            hdri_int = hdri_val * f_nee * jnp.abs(dot(wihdri, n))[..., None] / \
+                hdri_pdf[..., None]
+        else:
+            hdri_pdf = hdri_ops.env_pdf(env, sx, sy, center=True)
+            nee_brdf_pdf = disney_pdf(hd, wo, n, wihdri)
+            hw = hdri_ops.balance_heuristic(hdri_pdf, nee_brdf_pdf)
+            hdri_int = (hdri_val * f_nee * jnp.abs(dot(wihdri, n))[..., None]
+                        / jnp.maximum(hdri_pdf, 1e-12)[..., None]
+                        * (hdri_pdf > 0)[..., None] * hw[..., None])
+
+        # --- BRDF sampling ----------------------------------------------
+        wibrdf = disney_sample(hd, wo, n, rs1, rs2, rs3)
+        if not config.compat:
+            wibrdf = jax.lax.stop_gradient(wibrdf)
+        brdf_pdf = disney_pdf(hd, wo, n, wibrdf)
+        f_brdf = disney_eval(hd, wo, n, wibrdf)
+
+        contrib = hd["emission"] + hdri_int
+        if not config.compat and config.n_lights > 0:
+            rng, pl = _point_light_nee(config, ir, hd, wo, rng, shade)
+            contrib = contrib + pl
+        light = light + where3(shade, reduction * contrib,
+                               jnp.zeros_like(light))
+        throughput = f_brdf * jnp.abs(dot(wibrdf, n))[..., None] / \
+            (brdf_pdf[..., None] if config.compat
+             else jnp.maximum(brdf_pdf, 1e-12)[..., None])
+        reduction = where3(shade, reduction * throughput, reduction)
+
+        if bounce == 0:
+            aov_normal = where3(shade, n, aov_normal)
+            aov_tangent = where3(shade, hd["tangent"], aov_tangent)
+            aov_bitangent = where3(shade, hd["bitangent"], aov_bitangent)
+
+        # --- next ray (kernel.cpp:587-592) ------------------------------
+        next_o = where3(shade, hit["position"] + wibrdf * 1e-3,
+                        hit["position"] + ray_d * 1e-3)
+        next_d = where3(shade, normalize(wibrdf), ray_d)
+        ray_o = where3(alive, next_o, ray_o)
+        ray_d = where3(alive, next_d, ray_d)
+        prev_brdf_pdf = jnp.where(shade, brdf_pdf, prev_brdf_pdf)
+        had_bounce = had_bounce | shade
+
+    # --- progressive accumulation (kernel.cpp:597-645) -------------------
+    light = jnp.clip(light, 0.0, config.clamp_radiance)
+    ok = ~jnp.any(jnp.isnan(light), axis=-1)
+    sa = state["samples"].astype(jnp.float32)
+    scale = jnp.where(sa > 0, sa / (sa + 1.0), 1.0)
+    inv = 1.0 / (sa + 1.0)
+
+    passes = state["passes"]
+    rgb_scale = jnp.where(ok[None, :, None], scale[None, :, None], 1.0)
+    keep = jnp.arange(PASSES_COUNT) != DENOISE
+    rgb = passes[:, :, :3] * jnp.where(keep[:, None, None], rgb_scale, 1.0)
+
+    adds = jnp.zeros_like(rgb)
+    for pid, val in ((BEAUTY, light), (NORMAL, aov_normal),
+                     (TANGENT, aov_tangent), (BITANGENT, aov_bitangent)):
+        adds = adds.at[pid].set(jnp.where(ok[:, None], val * inv[:, None], 0.0))
+    rgb = rgb + adds
+    passes = passes.at[:, :, :3].set(rgb)
+
+    return {
+        "passes": passes,
+        "samples": state["samples"] + ok.astype(jnp.uint32),
+        "rng": rng,
+    }
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
+def render_sample_jit(config, ir, state):
+    return render_sample(config, ir, state)

@@ -1,0 +1,170 @@
+"""Scene IR: the flat, device-ready pytree.
+
+The reference deep-copies a pointer graph to the device (dev_Scene,
+/root/reference/src/kernel.h:24-49 + SYCLCopy.cpp:3-104, 30+ sequential
+memcpys).  The TPU-native equivalent is a single pytree of flat jnp arrays
+— no pointers anywhere — moved to HBM in one ``jax.device_put``:
+
+- triangles as SoA arrays *permuted into BVH leaf order* (a leaf is a
+  contiguous slice; ``triIdx`` == sorted position, matching BVH.cpp:116),
+- a flat node array with implicit children (preorder, BVH.cpp:122-130),
+- a material SoA table, a packed texture atlas, the HDRI + CDF,
+- camera parameters and point lights.
+
+``RenderConfig`` carries everything shape-affecting or trace-affecting
+(static under jit).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops.bvh import build_bvh
+from ..ops.hdri import pack_hdri
+from ..ops.texture import pack_atlas
+
+MAP_SLOT_ORDER = ("albedo", "emission", "roughness", "metallic", "normal",
+                  "opacity", "transmission")
+
+MAT_SCALARS = ("opacity", "roughness", "metallic", "clearcoat_gloss",
+               "clearcoat", "anisotropic", "eta", "transmission", "specular",
+               "specular_tint", "sheen_tint", "subsurface", "sheen")
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (hashable) render configuration.
+
+    Mirrors RenderParameters (kernel.h:51-69) plus structural facts the
+    jitted program specializes on.
+    """
+    x_res: int = 1280          # kernel.h:68 defaults
+    y_res: int = 720
+    sample_target: int = 100
+    denoise: bool = False
+    device: str = ""
+    block_size: int = 8
+
+    bvh_depth: int = 1
+    bvh_max_leaf: int = 1
+    bokeh: bool = False
+    n_lights: int = 0
+    max_bounces: int = 5       # kernel.cpp:508 hard-coded 5
+    clamp_radiance: float = 10.0  # kernel.cpp:597
+    compat: bool = True        # replicate reference quirks exactly
+    use_bvh: bool = True
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def materials_to_ir(materials) -> dict:
+    """Material list -> SoA table.  Index 0 is the implicit default
+    (Scene.cpp:107: unmatched tris get materialID 0)."""
+    from .material import Material
+    if not materials:
+        materials = [Material.default()]
+    M = len(materials)
+    out = {
+        "albedo": np.zeros((M, 3), np.float32),
+        "emission": np.zeros((M, 3), np.float32),
+        "tex": np.full((M, len(MAP_SLOT_ORDER)), -1, np.int32),
+        "shader": np.full((M,), -1, np.int32),
+    }
+    for s in MAT_SCALARS:
+        out[s] = np.zeros(M, np.float32)
+    for i, m in enumerate(materials):
+        out["albedo"][i] = m.albedo
+        out["emission"][i] = m.emission
+        for s in MAT_SCALARS:
+            out[s][i] = getattr(m, s)
+        for j, slot in enumerate(MAP_SLOT_ORDER):
+            out["tex"][i, j] = getattr(m, f"{slot}_texture_id")
+        out["shader"][i] = m.albedo_shader_id
+    return {k: jnp.asarray(v) for k, v in out.items()}
+
+
+def build_ir(scene, config: RenderConfig | None = None,
+             bvh_depth: int | None = None) -> tuple[RenderConfig, dict]:
+    """Flatten a host Scene into (RenderConfig, device IR pytree)."""
+    if config is None:
+        config = RenderConfig()
+
+    # ---- triangles (all meshes concatenated, Scene.cpp:48-66) ----------
+    verts, normals, uvs, tangents, signs, mats = [], [], [], [], [], []
+    mat_index = {m.name: i for i, m in enumerate(scene.materials)}
+    for mesh in scene.meshes:
+        verts.append(mesh.verts)
+        normals.append(mesh.normals)
+        uvs.append(mesh.uvs)
+        tangents.append(mesh.tangents)
+        signs.append(mesh.tangent_signs)
+        # Name-based tri->material pairing (Scene.cpp:102-120); default 0.
+        mats.append(np.array([mat_index.get(n, 0) for n in mesh.mat_names],
+                             np.int32))
+    if verts:
+        verts = np.concatenate(verts)
+        normals = np.concatenate(normals)
+        uvs = np.concatenate(uvs)
+        tangents = np.concatenate(tangents)
+        signs = np.concatenate(signs)
+        mats = np.concatenate(mats)
+    else:
+        verts = np.zeros((0, 3, 3), np.float32)
+        normals = np.zeros((0, 3, 3), np.float32)
+        uvs = np.zeros((0, 3, 2), np.float32)
+        tangents = np.zeros((0, 3, 3), np.float32)
+        signs = np.zeros(0, np.float32)
+        mats = np.zeros(0, np.int32)
+
+    bvh = build_bvh(verts, depth=bvh_depth)
+    perm = bvh["perm"]
+
+    ir = {
+        "tris": {
+            "verts": jnp.asarray(verts[perm]),
+            "normals": jnp.asarray(normals[perm]),
+            "uvs": jnp.asarray(uvs[perm]),
+            "tangents": jnp.asarray(tangents[perm]),
+            "sign": jnp.asarray(signs[perm]),
+            "mat": jnp.asarray(mats[perm]),
+        },
+        "bvh": {
+            "node_bmin": jnp.asarray(bvh["node_bmin"]),
+            "node_bmax": jnp.asarray(bvh["node_bmax"]),
+            "node_from": jnp.asarray(bvh["node_from"]),
+            "node_to": jnp.asarray(bvh["node_to"]),
+        },
+        "materials": materials_to_ir(scene.materials),
+        "atlas": pack_atlas(scene.textures),
+        "env": pack_hdri(scene.hdri),
+        "camera": {
+            "position": jnp.asarray(scene.camera.position, jnp.float32),
+            "rotation": jnp.asarray(scene.camera.rotation, jnp.float32),
+            "focal_length": jnp.float32(scene.camera.focal_length),
+            "sensor_width": jnp.float32(scene.camera.sensor_width),
+            "sensor_height": jnp.float32(scene.camera.sensor_height),
+            "aperture": jnp.float32(scene.camera.aperture),
+            "focus_distance": jnp.float32(scene.camera.focus_distance),
+        },
+        "lights": {
+            "pos": jnp.asarray(
+                np.stack([l.position for l in scene.point_lights])
+                if scene.point_lights else np.zeros((1, 3), np.float32)),
+            "rad": jnp.asarray(
+                np.stack([l.radiance for l in scene.point_lights])
+                if scene.point_lights else np.zeros((1, 3), np.float32)),
+        },
+    }
+
+    config = config.replace(
+        x_res=scene.x_res, y_res=scene.y_res,
+        bvh_depth=bvh["depth"], bvh_max_leaf=bvh["max_leaf"],
+        bokeh=bool(scene.camera.bokeh),
+        n_lights=len(scene.point_lights),
+    )
+    return config, ir

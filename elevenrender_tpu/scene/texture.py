@@ -1,0 +1,116 @@
+"""Host-side texture: float RGB(A) images as numpy arrays.
+
+Capability mirror of /root/reference/src/Texture.{h,cpp}:
+- construction from raw float data with sRGB->linear (Texture.cpp:137-153),
+  from a constant color (Texture.cpp:155-162), or from an image file on disk
+  with gamma 2.2 + vertical flip (Texture.cpp:9-38; we use PIL/stb-free
+  numpy decoding via imageio if available, else PNG via PIL).
+- ops: mirror_x/mirror_y, clamp_channels, pixel_shift (Texture.cpp:60-126).
+
+Data layout is [height, width, channels] float32 (the reference keeps a raw
+``float*`` with the same row-major layout).  Device-side sampling lives in
+``ops/texture.py`` over the packed atlas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def srgb_to_linear(s: np.ndarray) -> np.ndarray:
+    """Exact sRGB EOTF (Texture.cpp:137-144 uses fast_pow approximation of
+    the same curve; we use the exact pow — native mode is not bug-parity)."""
+    s = s.astype(np.float32)
+    return np.where(s <= 0.04045, s / 12.92,
+                    ((s + 0.055) / 1.055) ** 2.4).astype(np.float32)
+
+
+class Texture:
+    FILTER_NONE = 0
+    FILTER_BILINEAR = 1
+
+    def __init__(self, name: str = "", data: np.ndarray | None = None,
+                 filter: int = FILTER_NONE):
+        if data is None:
+            data = np.zeros((1, 1, 1), np.float32)  # Texture() default
+        assert data.ndim == 3
+        self.name = name
+        self.data = np.ascontiguousarray(data, np.float32)
+        self.filter = filter
+
+    # -- constructors ------------------------------------------------------
+    @staticmethod
+    def from_raw(name: str, width: int, height: int, channels: int,
+                 data: np.ndarray, filter: int = FILTER_NONE,
+                 srgb: bool = False) -> "Texture":
+        """Texture from a raw float buffer (TCP payload),
+        Texture.cpp:146-153.  sRGB data is linearized in place."""
+        arr = np.asarray(data, np.float32).reshape(height, width, channels)
+        if srgb:
+            arr = srgb_to_linear(arr)
+        return Texture(name, arr, filter)
+
+    @staticmethod
+    def from_color(color) -> "Texture":
+        """1x1 constant-color texture (Texture.cpp:155-162)."""
+        arr = np.asarray(color, np.float32).reshape(1, 1, 3)
+        return Texture("", arr)
+
+    @staticmethod
+    def from_file(path: str, srgb: bool = True,
+                  filter: int = FILTER_NONE) -> "Texture":
+        """Disk load with gamma 2.2 and vertical flip (Texture.cpp:9-38)."""
+        from ..utils.image import read_image
+        arr = read_image(path)  # [H, W, C] float32 in [0,1]
+        arr = arr[::-1]  # stbi_set_flip_vertically_on_load(true)
+        if srgb:
+            arr = arr ** 2.2  # stbi_ldr_to_hdr_gamma(2.2)
+        return Texture(path, np.ascontiguousarray(arr, np.float32), filter)
+
+    # -- properties --------------------------------------------------------
+    @property
+    def width(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def channels(self) -> int:
+        return self.data.shape[2]
+
+    # -- ops (Texture.cpp:60-126) -----------------------------------------
+    def mirror_x(self) -> None:
+        self.data = np.ascontiguousarray(self.data[:, ::-1])
+
+    def mirror_y(self) -> None:
+        self.data = np.ascontiguousarray(self.data[::-1])
+
+    def clamp_channels(self) -> None:
+        if self.channels > 3:
+            self.data = np.ascontiguousarray(self.data[:, :, :3])
+
+    def pixel_shift(self, x_amount: float, y_amount: float) -> None:
+        """Circular shift by a fraction of width/height (Texture.cpp:113-126).
+        Used on HDRI load with (0.5, 0) to recenter the environment."""
+        sx = int(self.width * x_amount)
+        sy = int(self.height * y_amount)
+        self.data = np.ascontiguousarray(
+            np.roll(self.data, shift=(sy, sx), axis=(0, 1)))
+
+    def value_at(self, x: int, y: int) -> np.ndarray:
+        """Host-side getValueFromCoordinates (Texture.cpp:172-200) for
+        tests and CDF building; returns a 3-vector."""
+        w, h, c = self.width, self.height, self.channels
+        x = int(np.fmod(x, w))
+        y = int(np.fmod(y, h))
+        if x < 0:
+            x = -x
+        if y < 0:
+            y = -y
+        px = np.zeros(3, np.float32)
+        px[:min(c, 3)] = self.data[y, x, :min(c, 3)]
+        if c == 1:
+            px[:] = self.data[y, x, 0]
+        return px

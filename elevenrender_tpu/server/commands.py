@@ -1,0 +1,260 @@
+"""Command layer: argv-style command parsing + session state + dispatch.
+
+Mirror of the reference's L2/L3 (/root/reference/src/main.cpp:36-187,
+CommandManager.{h,cpp}): command strings arrive as messages, are parsed
+argv-style (str_to_argv, main.cpp:13-24), asset payloads follow as 1-2
+data messages, and every load/start replies OK.  Supported commands and
+flags match main.cpp:48-83:
+
+  load_config load_texture load_object load_camera load_hdri
+  load_brdf_material load_osl_material start pause abort
+  --path --recompute_normals --mirror_x --mirror_y --output
+  --get_info --get_sycl_info --get_pass <name>
+
+(get_* work both as ``--get_info`` flags, as the reference registers them,
+and bare ``get_info`` for convenience.)  Disk loads (--path) are fully
+implemented for OBJ (the only one the reference implements,
+CommandManager.cpp:229-236) and additionally for config/camera/brdf JSON
+files — capability superset.
+"""
+
+from __future__ import annotations
+
+import json
+import shlex
+
+import numpy as np
+
+from ..render.renderer import Renderer
+from ..scene.camera import Camera
+from ..scene.hdri import HDRI
+from ..scene.ir import RenderConfig
+from ..scene.material import Material
+from ..scene.objloader import load_objs, parse_mtl
+from ..scene.scene import Scene
+from ..scene.texture import Texture
+from ..utils.logging import get_logger
+from .protocol import Message
+
+log = get_logger()
+
+
+def parse_config_json(obj: dict) -> RenderConfig:
+    """ConfigTCPLoadInputCommand::load (CommandManager.cpp:154-172)."""
+    return RenderConfig(
+        x_res=int(obj["x_res"]), y_res=int(obj["y_res"]),
+        sample_target=int(obj["sample_target"]),
+        denoise=bool(obj["denoise"]),
+        device=str(obj.get("device", "")),
+        block_size=int(obj.get("block_size", 8)),
+    )
+
+
+def parse_texture_msgs(metadata: dict, data: np.ndarray) -> Texture:
+    """parse_texturejson (CommandManager.cpp:23-42)."""
+    cs = metadata.get("color_space", "sRGB")
+    return Texture.from_raw(
+        name=str(metadata["name"]), width=int(metadata["width"]),
+        height=int(metadata["height"]), channels=int(metadata["channels"]),
+        data=data, filter=Texture.FILTER_NONE, srgb=(cs == "sRGB"))
+
+
+class CommandSession:
+    """Per-connection session: scene + render lifecycle (CommandManager)."""
+
+    def __init__(self, send, recv):
+        """send(Message), recv() -> Message are transport callbacks."""
+        self.send = send
+        self.recv = recv
+        self.scene = Scene()
+        self.config = RenderConfig()
+        self.renderer: Renderer | None = None
+
+    # ---- command handling ----------------------------------------------
+    def handle_command(self, command_str: str) -> bool:
+        """Execute one command string.  Returns False to close session."""
+        log.info("Parsing: %s", command_str)
+        args = shlex.split(command_str)
+        flags: dict[str, list[str]] = {}
+        pos: list[str] = []
+        i = 0
+        while i < len(args):
+            a = args[i]
+            if a.startswith("--"):
+                key = a[2:]
+                vals = []
+                while i + 1 < len(args) and not args[i + 1].startswith("--"):
+                    vals.append(args[i + 1])
+                    i += 1
+                flags[key] = vals
+            else:
+                pos.append(a)
+            i += 1
+        for p in pos:  # bare command words count as flags (argv parity)
+            flags.setdefault(p, [])
+
+        path = " ".join(flags["path"]).strip('"') if "path" in flags else None
+
+        try:
+            if "load_config" in flags:
+                self._load_config(path)
+            elif "load_camera" in flags:
+                self._load_camera(path)
+            elif "load_texture" in flags:
+                self._load_texture(path, "mirror_x" in flags,
+                                   "mirror_y" in flags)
+            elif "load_hdri" in flags:
+                self._load_hdri(path, "mirror_x" in flags,
+                                "mirror_y" in flags)
+            elif "load_brdf_material" in flags:
+                self._load_brdf(path)
+            elif "load_object" in flags:
+                self._load_object(path, "recompute_normals" in flags)
+            elif "load_osl_material" in flags:
+                log.error("load_osl_material not implemented")  # parity
+                self.send(Message.ok())
+            elif "start" in flags:
+                self._start()
+            elif "pause" in flags or "abort" in flags:
+                if self.renderer is not None:
+                    self.renderer.stop()
+                self.send(Message.ok())
+            elif "get_info" in flags:
+                self._get_info()
+            elif "get_sycl_info" in flags:
+                self._get_device_info()
+            elif "get_pass" in flags:
+                name = flags["get_pass"][0] if flags["get_pass"] else "beauty"
+                if "output" in flags and flags["output"]:
+                    self._save_pass(name, flags["output"][0])
+                else:
+                    self._get_pass(name)
+            else:
+                log.error("Input Command not recognized in: %s", command_str)
+        except Exception as e:  # log-and-continue (reference behavior)
+            log.error("Command failed: %s", e, exc_info=True)
+        return True
+
+    # ---- loads ----------------------------------------------------------
+    def _load_config(self, path):
+        if path:
+            with open(path) as f:
+                rp = parse_config_json(json.load(f))
+        else:
+            rp = parse_config_json(self.recv().get_json_data())
+        self.config = rp
+        self.scene.x_res = rp.x_res
+        self.scene.y_res = rp.y_res
+        self.send(Message.ok())
+
+    def _load_camera(self, path):
+        if path:
+            with open(path) as f:
+                cam = Camera.from_json(json.load(f))
+        else:
+            cam = Camera.from_json(self.recv().get_json_data())
+        self.scene.camera = cam
+        self.send(Message.ok())
+
+    def _load_texture(self, path, mirror_x=False, mirror_y=False):
+        if path:
+            tex = Texture.from_file(path)
+        else:
+            metadata = self.recv().get_json_data()
+            data = self.recv().get_float_data()
+            tex = parse_texture_msgs(metadata, data)
+        if mirror_x:
+            tex.mirror_x()
+        if mirror_y:
+            tex.mirror_y()
+        self.scene.add_texture(tex)
+        self.scene.pair_textures()
+        self.send(Message.ok())
+
+    def _load_hdri(self, path, mirror_x=False, mirror_y=False):
+        if path:
+            tex = Texture.from_file(path, srgb=False)
+        else:
+            metadata = self.recv().get_json_data()
+            data = self.recv().get_float_data()
+            tex = parse_texture_msgs(metadata, data)
+        # HdriTCPLoadInputCommand::load (CommandManager.cpp:178-194).
+        if mirror_x:
+            tex.mirror_x()
+        if mirror_y:
+            tex.mirror_y()
+        tex.pixel_shift(0.5, 0)
+        self.scene.add_hdri(HDRI(tex))
+        self.send(Message.ok())
+
+    def _load_brdf(self, path):
+        if path:
+            with open(path) as f:
+                mat = Material.from_json(json.load(f))
+        else:
+            mat = Material.from_json(self.recv().get_json_data())
+        self.scene.add_material(mat)
+        self.scene.pair_materials()
+        self.scene.pair_textures()
+        self.send(Message.ok())
+
+    def _load_object(self, path, recompute_normals):
+        if path:
+            meshes, mtl_mats = load_objs(path,
+                                         recompute_normals=recompute_normals)
+        else:
+            obj_msg = self.recv()
+            mtl_msg = self.recv()
+            # Reference strips MTL to newmtl lines only (ObjLoader.cpp:156)
+            # — materials arrive separately as BRDF JSONs; names suffice.
+            meshes, mtl_mats = load_objs(
+                obj_msg.data.decode("utf-8", "replace"),
+                mtl_text=mtl_msg.get_string_data(),
+                recompute_normals=recompute_normals)
+        self.scene.add_meshes(meshes)
+        self.scene.pair_materials()
+        self.send(Message.ok())
+
+    # ---- actions --------------------------------------------------------
+    def _start(self):
+        config, ir = self.scene.build(config=self.config)
+        self.config = config
+        self.renderer = Renderer(config, ir)
+        self.renderer.start(config.sample_target)
+        self.send(Message.ok())
+
+    def _get_info(self):
+        info = {"samples": 0}
+        if self.renderer is not None:
+            info = self.renderer.get_render_info()
+        self.send(Message.json_msg(info))
+
+    def _get_device_info(self):
+        """get_sycl_info analog: enumerate JAX devices
+        (CommandManager.cpp:303-362)."""
+        import jax
+        devices = []
+        for d in jax.devices():
+            devices.append({
+                "name": f"{d.device_kind}:{d.id}",
+                "platform": d.platform,
+                "memory": getattr(d, "memory_stats", lambda: {})() or {},
+                "max_compute_units": d.core_on_chip
+                if hasattr(d, "core_on_chip") else 1,
+                "is_compatible": True,
+                "online_compiler": True,
+                "type": "tpu" if d.platform == "tpu" else d.platform,
+            })
+        self.send(Message.json_msg({"devices": devices}))
+
+    def _get_pass(self, name):
+        if self.renderer is None:
+            self.send(Message.json_msg({"error": "no render started"}))
+            return
+        data = self.renderer.get_pass(name)
+        self.send(Message.float_data(data, "float4"))
+
+    def _save_pass(self, name, path):
+        if self.renderer is not None:
+            self.renderer.save_pass(name, path)
+        self.send(Message.ok())

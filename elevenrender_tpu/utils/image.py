@@ -1,0 +1,104 @@
+"""Minimal PNG/PPM image IO (no external deps beyond numpy/stdlib).
+
+Replaces the reference's stb_image / stb_image_write usage
+(Texture.cpp:8-38, CommandManager.cpp:403-422).  PNG encode/decode is
+implemented directly over zlib — enough for RGB(A) 8-bit assets and
+outputs; HDR float inputs arrive over the wire as raw float buffers.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """img: [H, W, C] uint8 (C in 1,2,3,4) or float in [0,1]."""
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def read_png(path: str) -> np.ndarray:
+    """Decode 8-bit PNG -> [H, W, C] float32 in [0,1].  Supports color
+    types 0/2/4/6, bit depth 8, no interlace."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    idat = b""
+    w = h = ct = 0
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ct, comp, filt, inter = struct.unpack(">IIBBBBB", body)
+            assert depth == 8 and inter == 0, "unsupported PNG variant"
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    c = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    raw = zlib.decompress(idat)
+    stride = w * c
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)],
+                             np.uint8).astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # up
+            cur = (line + prev) & 0xFF
+        else:  # sub/avg/paeth need sequential scan
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - c] if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:  # paeth
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    return (out.reshape(h, w, c).astype(np.float32)) / 255.0
+
+
+def read_image(path: str) -> np.ndarray:
+    """Dispatch by extension; PNG natively, else try PIL if present."""
+    if path.lower().endswith(".png"):
+        return read_png(path)
+    try:
+        from PIL import Image
+        arr = np.asarray(Image.open(path)).astype(np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr
+    except ImportError as e:
+        raise ValueError(f"unsupported image format: {path}") from e

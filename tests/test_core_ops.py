@@ -1,0 +1,189 @@
+"""Unit parity tests: RNG, samplers, Disney BSDF, math — vs scalar numpy
+oracles ported from the cited reference formulas (SURVEY.md §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from elevenrender_tpu.core import rng as rng_mod
+from elevenrender_tpu.core.vecmath import normalize, vec3
+from elevenrender_tpu.ops import sampling
+from elevenrender_tpu.ops.disney import (disney_eval, disney_pdf,
+                                         disney_sample, gtr1, gtr2_aniso,
+                                         schlick_fresnel, smith_g_ggx)
+
+
+# --- RNG: xorshift32 + Jenkins (kernel.cpp:25-47) -------------------------
+
+def xorshift32_oracle(seed: int, n: int):
+    """Scalar oracle replicating RngGenerator exactly."""
+    h = 0
+    s = (seed + 1) & 0xFFFFFFFF
+    for i in range(4):
+        h = (h + ((s >> (i * 8)) & 0xFF)) & 0xFFFFFFFF
+        h = (h + (h << 10)) & 0xFFFFFFFF
+        h ^= h >> 6
+    h = (h + (h << 3)) & 0xFFFFFFFF
+    h ^= h >> 11
+    h = (h + (h << 15)) & 0xFFFFFFFF
+    state = h
+    out = []
+    for _ in range(n):
+        state ^= (state << 13) & 0xFFFFFFFF
+        state &= 0xFFFFFFFF
+        state ^= state >> 17
+        state ^= (state << 5) & 0xFFFFFFFF
+        state &= 0xFFFFFFFF
+        out.append(np.float32(state) / np.float32(4294967295))
+    return out
+
+
+def test_rng_parity():
+    idx = jnp.arange(7, dtype=jnp.uint32)
+    state = rng_mod.init_state(idx)
+    seq = []
+    for _ in range(6):
+        state, f = rng_mod.next_float(state)
+        seq.append(np.asarray(f))
+    seq = np.stack(seq, axis=1)  # [7, 6]
+    for pix in range(7):
+        oracle = xorshift32_oracle(pix, 6)
+        np.testing.assert_allclose(seq[pix], oracle, rtol=1e-7)
+
+
+def test_rng_masked_advance():
+    state = rng_mod.init_state(jnp.arange(4, dtype=jnp.uint32))
+    mask = jnp.array([True, False, True, False])
+    new_state, _ = rng_mod.next_float_masked(state, mask)
+    assert (np.asarray(new_state[1]) == np.asarray(state[1]))
+    assert (np.asarray(new_state[0]) != np.asarray(state[0]))
+
+
+# --- Samplers (Sampling.h) ------------------------------------------------
+
+def test_uniform_sphere_unit():
+    u = jnp.linspace(0.01, 0.99, 50)
+    d = sampling.uniform_sample_sphere(u, u[::-1])
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0,
+                               atol=1e-5)
+
+
+def test_cosine_hemisphere_up():
+    u = jnp.linspace(0.01, 0.99, 50)
+    d = sampling.cosine_sample_hemisphere(u, u[::-1])
+    assert (np.asarray(d[..., 2]) >= 0).all()
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0,
+                               atol=1e-5)
+
+
+def test_ggx_half_vector():
+    # Oracle: Sampling.h:42-53 scalar.
+    rgh, r1, r2 = 0.3, 0.7, 0.4
+    a = max(0.001, rgh)
+    phi = r1 * np.pi * 2
+    ct = np.sqrt((1 - r2) / (1 + (a * a - 1) * r2))
+    st = np.clip(np.sqrt(1 - ct * ct), 0, 1)
+    oracle = [st * np.cos(phi), st * np.sin(phi), ct]
+    got = sampling.importance_sample_ggx(jnp.float32(rgh), jnp.float32(r1),
+                                         jnp.float32(r2))
+    np.testing.assert_allclose(np.asarray(got), oracle, rtol=1e-5)
+
+
+# --- Disney (Disney.cpp) --------------------------------------------------
+
+def _hitdata(n=1, **kw):
+    hd = {
+        "albedo": jnp.full((n, 3), 0.8),
+        "roughness": jnp.full((n,), 0.5),
+        "metallic": jnp.zeros((n,)),
+        "anisotropic": jnp.zeros((n,)),
+        "clearcoat": jnp.zeros((n,)),
+        "clearcoatGloss": jnp.zeros((n,)),
+        "specular": jnp.full((n,), 0.5),
+        "specularTint": jnp.zeros((n,)),
+        "sheen": jnp.zeros((n,)),
+        "sheenTint": jnp.full((n,), 0.5),
+        "subsurface": jnp.zeros((n,)),
+        "transmission": jnp.zeros((n,)),
+        "tangent": jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (n, 1)),
+        "bitangent": jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (n, 1)),
+    }
+    for k, v in kw.items():
+        hd[k] = v
+    return hd
+
+
+def test_disney_helper_functions():
+    # GTR1 with a >= 1 -> 1/pi (Disney.cpp:56-59).
+    np.testing.assert_allclose(float(gtr1(jnp.float32(0.5), jnp.float32(1.0))),
+                               1.0 / np.pi, rtol=1e-6)
+    # SchlickFresnel(1) == 0, (0) == 1.
+    assert abs(float(schlick_fresnel(jnp.float32(1.0)))) < 1e-6
+    np.testing.assert_allclose(float(schlick_fresnel(jnp.float32(0.0))), 1.0,
+                               rtol=1e-6)
+    # SmithG oracle (Disney.cpp:78-82).
+    ndv, ag = 0.7, 0.25
+    a, b = ag * ag, ndv * ndv
+    oracle = 1.0 / (ndv + np.sqrt(a + b - a * b))
+    np.testing.assert_allclose(float(smith_g_ggx(jnp.float32(ndv),
+                                                 jnp.float32(ag))),
+                               oracle, rtol=1e-6)
+
+
+def test_disney_eval_diffuse_oracle():
+    """Pure rough diffuse at normal incidence: the Disney diffuse lobe
+    reduces to (Fd/pi)*albedo (+ specular D*G*F term)."""
+    hd = _hitdata()
+    n = jnp.array([[0.0, 0.0, 1.0]])
+    v = normalize(jnp.array([[0.0, 0.3, 1.0]]))
+    l = normalize(jnp.array([[0.3, 0.0, 1.0]]))
+    got = np.asarray(disney_eval(hd, v, n, l))[0]
+    assert np.isfinite(got).all() and (got > 0).all()
+
+    # Below-horizon L gated to zero (Disney.cpp:177).
+    l_down = normalize(jnp.array([[0.0, 0.0, -1.0]]))
+    got0 = np.asarray(disney_eval(hd, v, n, l_down))[0]
+    np.testing.assert_allclose(got0, 0.0)
+
+
+def test_disney_pdf_quirk_below_horizon():
+    hd = _hitdata()
+    n = jnp.array([[0.0, 0.0, 1.0]])
+    v = normalize(jnp.array([[0.0, 0.3, 1.0]]))
+    l_down = normalize(jnp.array([[0.0, 0.1, -1.0]]))
+    # Reference returns 1.0 (Disney.cpp:109-111).
+    np.testing.assert_allclose(np.asarray(disney_pdf(hd, v, n, l_down)), 1.0)
+
+
+def test_disney_pdf_integrates_to_one():
+    """The mixture pdf integrates to <= ~1 over the hemisphere (the GGX
+    lobe loses below-horizon mass, so somewhat less than 1 is correct)."""
+    hd = _hitdata(metallic=jnp.full((1,), 0.0))
+    n = jnp.array([[0.0, 0.0, 1.0]])
+    v = normalize(jnp.array([[0.0, 0.0, 1.0]]))
+    rng = np.random.default_rng(0)
+    m = 200_000
+    # Uniform hemisphere MC.
+    z = rng.uniform(0, 1, m)
+    phi = rng.uniform(0, 2 * np.pi, m)
+    r = np.sqrt(1 - z * z)
+    dirs = np.stack([r * np.cos(phi), r * np.sin(phi), z], -1)
+    hdb = {k: jnp.broadcast_to(val, (m,) + val.shape[1:]) for k, val in _hitdata().items()}
+    pdf = np.asarray(disney_pdf(hdb, jnp.broadcast_to(v, (m, 3)),
+                                jnp.broadcast_to(n, (m, 3)),
+                                jnp.asarray(dirs, jnp.float32)))
+    integral = pdf.mean() * 2 * np.pi
+    assert 0.7 < integral < 1.05, integral
+
+
+def test_disney_sample_lobes():
+    hd = _hitdata(metallic=jnp.zeros((1,)))
+    n = jnp.array([[0.0, 0.0, 1.0]])
+    v = normalize(jnp.array([[0.1, 0.0, 1.0]]))
+    # r3 < diffuseRatio(=0.5) -> cosine lobe (upper hemisphere).
+    d = np.asarray(disney_sample(hd, v, n, jnp.full((1,), 0.3),
+                                 jnp.full((1,), 0.6), jnp.full((1,), 0.2)))
+    assert d[0, 2] > 0
+    # r3 >= ratio -> GGX reflection of -v about sampled half vector.
+    d2 = np.asarray(disney_sample(hd, v, n, jnp.full((1,), 0.3),
+                                  jnp.full((1,), 0.6), jnp.full((1,), 0.9)))
+    assert np.isfinite(d2).all()

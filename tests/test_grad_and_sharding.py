@@ -1,0 +1,109 @@
+"""Inverse rendering (BASELINE config 4) + multi-device sharding tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from elevenrender_tpu.parallel.mesh import (PIXEL_AXIS, make_mesh,
+                                            replicate_ir,
+                                            shard_render_state)
+from elevenrender_tpu.render.grad import (float_subtree,
+                                          render_loss_and_grad)
+from elevenrender_tpu.render.integrator import (BEAUTY, init_state,
+                                                render_sample,
+                                                render_sample_jit)
+
+from scenes import cornell_scene
+
+RES = 16
+
+
+def small_config(**kw):
+    scene, config, ir = cornell_scene(res=RES, spp=2)
+    config = config.replace(compat=False, max_bounces=2, **kw)
+    return config, ir
+
+
+def test_albedo_gradient_signs():
+    """Brightening the target must push albedo gradients negative (loss
+    decreases when albedo increases toward a brighter target)."""
+    config, ir = small_config()
+    params = {"materials": float_subtree(ir["materials"])}
+
+    state = init_state(config)
+    img = np.asarray(render_sample_jit(config, ir, state)["passes"][BEAUTY, :, :3])
+
+    bright = jnp.asarray(img * 2.0 + 0.2)
+    loss_b, grads_b = render_loss_and_grad(config, ir, params, bright, 1)
+    dark = jnp.asarray(img * 0.2)
+    loss_d, grads_d = render_loss_and_grad(config, ir, params, dark, 1)
+
+    g_bright = np.asarray(grads_b["materials"]["albedo"])
+    g_dark = np.asarray(grads_d["materials"]["albedo"])
+    assert np.isfinite(g_bright).all() and np.isfinite(g_dark).all()
+    # White wall (material 0) gradient: negative toward bright target,
+    # positive toward dark target.
+    assert g_bright[0].sum() < 0
+    assert g_dark[0].sum() > 0
+
+
+def test_inverse_rendering_recovers_albedo():
+    """Gradient descent on wall albedo recovers a target albedo.
+
+    The target is rendered with the SAME estimator (same spp, same RNG
+    stream), so the true albedo is the exact minimizer and convergence is
+    deterministic — the standard self-consistent inverse-rendering check.
+    """
+    from elevenrender_tpu.render.grad import render_beauty
+    config, ir = small_config()
+    target_ir = dict(ir)
+    target_ir["materials"] = {
+        **ir["materials"],
+        "albedo": ir["materials"]["albedo"].at[0].set(
+            jnp.array([0.2, 0.6, 0.3]))}
+    target, _ = render_beauty(config, target_ir, 1)
+    target = jax.lax.stop_gradient(target)
+
+    import optax
+    # Optimize only the white wall's albedo (material row 0) — a clean
+    # 3-variable problem; other rows' gradients are masked out.
+    params = {"materials": {"albedo": ir["materials"]["albedo"]}}
+    row_mask = jnp.zeros_like(params["materials"]["albedo"]).at[0].set(1.0)
+    opt = optax.adam(0.05)
+    opt_state = opt.init(params)
+    losses = []
+    for it in range(80):
+        loss, grads = render_loss_and_grad(config, ir, params, target, 1)
+        losses.append(float(loss))
+        grads["materials"]["albedo"] = grads["materials"]["albedo"] * row_mask
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        params["materials"]["albedo"] = jnp.clip(
+            params["materials"]["albedo"], 0.0, 1.0)
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+    rec = np.asarray(params["materials"]["albedo"][0])
+    tgt = np.array([0.2, 0.6, 0.3])
+    assert np.abs(rec - tgt).mean() < np.abs(np.array([0.73] * 3) - tgt).mean()
+
+
+def test_sharded_render_matches_single_device():
+    """8-virtual-device pixel sharding produces the same image."""
+    config, ir = small_config()
+    state = init_state(config)
+    ref = render_sample_jit(config, ir, state)
+    ref_img = np.asarray(ref["passes"])
+
+    mesh = make_mesh(8)
+    ir_r = replicate_ir(ir, mesh)
+    st = shard_render_state(init_state(config), mesh)
+    step = jax.jit(
+        lambda ir, st: render_sample(config, ir, st),
+        out_shardings={
+            "passes": NamedSharding(mesh, P(None, PIXEL_AXIS, None)),
+            "samples": NamedSharding(mesh, P(PIXEL_AXIS)),
+            "rng": NamedSharding(mesh, P(PIXEL_AXIS)),
+        })
+    out = step(ir_r, st)
+    np.testing.assert_allclose(np.asarray(out["passes"]), ref_img,
+                               rtol=1e-4, atol=1e-5)
