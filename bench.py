@@ -31,19 +31,10 @@ def build_scene(res: int):
 
 
 def count_rays_per_sample(config, ir) -> float:
-    """Average traced rays (path + shadow) per pixel per sample, measured
-    by replaying the integrator's alive masks on a small probe render."""
-    import jax.numpy as jnp
-    from elevenrender_tpu.render import integrator as integ
-    from elevenrender_tpu.core import rng as rng_mod
-    from elevenrender_tpu.ops import bvh as bvh_ops
-    # Probe: trace bounce survival on the real scene at low res.
-    # For simplicity, assume every bounce traces 1 path ray and each shaded
-    # hit traces 1 shadow ray; estimate survival from a 64x64 forward pass.
-    probe_cfg = config.replace(x_res=64, y_res=64)
-    state = integ.init_state(probe_cfg)
-    st = integ.render_sample_jit(probe_cfg, ir, state)
-    # Without instrumentation, use the conservative analytical count:
+    """Traced rays per pixel per sample: the lockstep wavefront launches
+    one path trace + one NEE shadow trace per bounce for every pixel lane
+    (masked lanes still occupy the vector units), so the launched-ray
+    count is exactly 2 * max_bounces."""
     return 2.0 * config.max_bounces
 
 

@@ -70,17 +70,30 @@ def preorder_indices(depth: int) -> list[np.ndarray]:
     return idx
 
 
-def build_bvh(tri_verts: np.ndarray, depth: int | None = None) -> dict:
+def build_bvh(tri_verts: np.ndarray, depth: int | None = None,
+              use_native: bool | None = None) -> dict:
     """Build the flat BVH arrays.
 
     tri_verts: [T, 3, 3] float32.  Returns a dict of numpy arrays:
       node_bmin/node_bmax [NN,3] f32, node_from/node_to [NN] i32,
       perm [T] i32 (leaf-order permutation of the input tris),
       depth (python int), max_leaf (python int).
+
+    Uses the C++ builder (native/elevenrt.cpp) when available — same split
+    policy, ~10x faster on large scenes; set ELEVENRT_NATIVE=0 or
+    use_native=False to force the vectorized numpy path.
     """
+    import os
     T = tri_verts.shape[0]
     if depth is None:
         depth = default_depth(T)
+    if use_native is None:
+        use_native = os.environ.get("ELEVENRT_NATIVE", "1") != "0"
+    if use_native and T > 0:
+        from .native import build_bvh_native
+        out = build_bvh_native(np.asarray(tri_verts, np.float32), depth)
+        if out is not None:
+            return out
     D = depth
     NN = (1 << (D + 1)) - 1
 

@@ -110,17 +110,21 @@ def sample_env_exact(env, r1):
 def env_pdf(env, x, y, center: bool = False):
     """HDRI::pdf (HDRI.cpp:101-107).
 
-    ``center=False`` keeps the reference's texel-corner theta, which is
-    singular at y=0 (sin 0); native mode passes center=True to evaluate at
-    the texel center — finite everywhere, and the correct convention for a
-    piecewise-constant equirect map.
+    ``center=False`` replicates the reference exactly: texel-corner theta
+    (singular at y=0) and a 2*pi*sin(theta) denominator — which is pi/2
+    OFF the true equirect solid-angle normalization (the CDF picks pixels
+    with P = lum/rsum and a pixel covers dw = (2 pi^2 / WH) sin(theta), so
+    the true pdf divides by 2 pi^2 sin(theta)).  Native mode (center=True)
+    uses the texel-center theta and the correct normalization, which makes
+    the MIS weights consistent and the furnace test converge.
     """
     H, W, _ = env["img"].shape
     val = env["img"][jnp.clip(y, 0, H - 1), jnp.clip(x, 0, W - 1)]
     yf = y.astype(jnp.float32) + (0.5 if center else 0.0)
     theta = (yf / jnp.float32(H)) * jnp.pi
     lum = val[..., 0] + val[..., 1] + val[..., 2]
-    return (lum / env["rsum"]) * W * H / (2.0 * jnp.pi * jnp.sin(theta))
+    denom = (2.0 * jnp.pi * jnp.pi) if center else (2.0 * jnp.pi)
+    return (lum / env["rsum"]) * W * H / (denom * jnp.sin(theta))
 
 
 def balance_heuristic(a, b):

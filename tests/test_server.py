@@ -1,0 +1,68 @@
+"""Server end-to-end over a real localhost socket (protocol parity)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from elevenrender_tpu.server.client import RenderClient
+from elevenrender_tpu.server.tcp import RenderServer
+
+from scenes import CORNELL_OBJ
+
+PORT = 5873
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = RenderServer(host="127.0.0.1", port=PORT)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    time.sleep(0.3)
+    yield srv
+    srv.shutdown()
+
+
+def test_full_session(server):
+    c = RenderClient("127.0.0.1", PORT, timeout=300)
+
+    info = c.get_device_info()
+    assert len(info["devices"]) >= 1
+
+    c.load_config(x_res=24, y_res=24, sample_target=2)
+    c.load_camera({
+        "position": {"x": 0.0, "y": 1.0, "z": -3.5},
+        "rotation": {"x": 0.0, "y": 0.0, "z": 0.0},
+        "focal_length": 0.035, "sensor_width": 0.036,
+        "sensor_height": 0.024, "aperture": 2.8,
+        "focus_distance": 1e6, "bokeh": False})
+    c.load_brdf_material({"name": "white",
+                          "albedo": {"r": 0.7, "g": 0.7, "b": 0.7}})
+    c.load_brdf_material({"name": "lamp",
+                          "albedo": {"r": 0, "g": 0, "b": 0},
+                          "emission": {"r": 10, "g": 10, "b": 10}})
+    c.load_hdri(np.full((2, 4, 3), 0.1, np.float32))
+    c.load_object(CORNELL_OBJ, mtl_text="newmtl white\nnewmtl lamp\n")
+
+    c.start()
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if c.get_info().get("samples", 0) >= 2:
+            break
+        time.sleep(1)
+    assert c.get_info()["samples"] >= 2
+
+    img = c.get_pass("beauty")
+    assert img.shape == (24 * 24 * 4,)
+    assert np.isfinite(img).all()
+    assert img.max() > 0
+
+    c.close()
+
+    # Server survives and re-accepts (main.cpp:201-235).
+    c2 = RenderClient("127.0.0.1", PORT, timeout=30)
+    c2.command("--abort")
+    msg = c2.recv()
+    assert msg.get_string_data() == "ok"
+    c2.close()
