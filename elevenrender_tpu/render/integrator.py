@@ -62,12 +62,43 @@ def init_state(config) -> dict:
 
 
 def _trace(config, ir, ray_o, ray_d):
-    """Nearest-hit query (throwRay, kernel.cpp:218-240)."""
-    if config.use_bvh:
-        return bvh_ops.traverse(ir["bvh"], ir["tris"]["verts"], ray_o, ray_d,
-                                depth=config.bvh_depth,
-                                max_leaf=config.bvh_max_leaf)
-    return bvh_ops.brute_force(ir["tris"]["verts"], ray_o, ray_d)
+    """Nearest-hit query (throwRay, kernel.cpp:218-240).
+
+    Mode selection is static (baked into the jitted program): tiny scenes
+    brute-force (vectorized intersect-all beats any traversal overhead),
+    everything else uses packet traversal — per-ray stack walks gather per
+    lane, which TPUs execute near-serially.
+    """
+    tris = ir["tris"]["verts"]
+    mode = config.trace_mode
+    if not config.use_bvh:
+        mode = "brute"
+    if mode == "auto":
+        if tris.shape[0] <= 64:
+            mode = "brute"
+        elif jax.default_backend() == "cpu":
+            mode = "per_ray"  # CPU gathers are fine; Pallas would interpret
+        elif tris.shape[0] <= 400_000:  # VMEM-resident limit
+            mode = "pallas"
+        else:
+            mode = "packet"
+    if mode == "brute":
+        return bvh_ops.brute_force(tris, ray_o, ray_d)
+    if mode == "pallas":
+        from ..ops.bvh_pallas import traverse_pallas
+        bp = ir["bvh_packed"]
+        return traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
+                               ray_o, ray_d, depth=config.bvh_depth,
+                               max_leaf=config.bvh_max_leaf,
+                               interpret=jax.default_backend() == "cpu")
+    if mode == "packet":
+        return bvh_ops.traverse_packet(ir["bvh"], tris, ray_o, ray_d,
+                                       depth=config.bvh_depth,
+                                       max_leaf=config.bvh_max_leaf,
+                                       tile=config.packet_tile)
+    return bvh_ops.traverse(ir["bvh"], tris, ray_o, ray_d,
+                            depth=config.bvh_depth,
+                            max_leaf=config.bvh_max_leaf)
 
 
 def _generate_hitdata(config, ir, hit, ray_d):

@@ -57,6 +57,11 @@ class RenderConfig:
     clamp_radiance: float = 10.0  # kernel.cpp:597
     compat: bool = True        # replicate reference quirks exactly
     use_bvh: bool = True
+    # Trace implementation: "auto" picks brute force for tiny scenes and
+    # packet traversal otherwise; "per_ray" is the reference-shaped stack
+    # walk (slow on TPU: per-lane gathers), "packet"/"brute" force one.
+    trace_mode: str = "auto"
+    packet_tile: int = 128
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
@@ -124,7 +129,11 @@ def build_ir(scene, config: RenderConfig | None = None,
     bvh = build_bvh(verts, depth=bvh_depth)
     perm = bvh["perm"]
 
+    from ..ops.bvh_pallas import pack_bvh_for_pallas
+    nodes_p, leaf_p, tris9_p = pack_bvh_for_pallas(bvh, verts[perm])
+
     ir = {
+        "bvh_packed": {"nodes": nodes_p, "leaf": leaf_p, "tris9": tris9_p},
         "tris": {
             "verts": jnp.asarray(verts[perm]),
             "normals": jnp.asarray(normals[perm]),

@@ -71,6 +71,71 @@ f 21//6 24//6 23//6
 """
 
 
+def heightfield_mesh(grid: int = 128, seed: int = 0):
+    """A grid x grid noisy heightfield -> 2*(grid-1)^2 triangles, as flat
+    MeshData (for large-scene BVH/bench tests)."""
+    import numpy as _np
+    from elevenrender_tpu.scene.objloader import MeshData
+    from elevenrender_tpu.scene.tangents import compute_tangents
+
+    rng = _np.random.default_rng(seed)
+    xs = _np.linspace(-2, 2, grid, dtype=_np.float32)
+    zs = _np.linspace(-2, 2, grid, dtype=_np.float32)
+    xx, zz = _np.meshgrid(xs, zs, indexing="ij")
+    yy = (0.25 * _np.sin(3 * xx) * _np.cos(3 * zz)
+          + 0.05 * rng.standard_normal((grid, grid))).astype(_np.float32)
+    P = _np.stack([xx, yy, zz], axis=-1)          # [G,G,3]
+
+    i0 = P[:-1, :-1]
+    i1 = P[1:, :-1]
+    i2 = P[1:, 1:]
+    i3 = P[:-1, 1:]
+    t1 = _np.stack([i0, i1, i2], axis=2).reshape(-1, 3, 3)
+    t2 = _np.stack([i0, i2, i3], axis=2).reshape(-1, 3, 3)
+    verts = _np.concatenate([t1, t2]).astype(_np.float32)
+    T = verts.shape[0]
+
+    e1 = verts[:, 1] - verts[:, 0]
+    e2 = verts[:, 2] - verts[:, 0]
+    fn = _np.cross(e2, e1)
+    fn /= _np.maximum(_np.linalg.norm(fn, axis=-1, keepdims=True), 1e-12)
+    normals = _np.repeat(fn[:, None, :], 3, axis=1).astype(_np.float32)
+    uvs = _np.zeros((T, 3, 2), _np.float32)
+    uvs[:, :, 0] = (verts[:, :, 0] + 2) / 4
+    uvs[:, :, 1] = (verts[:, :, 2] + 2) / 4
+    tangents, signs = compute_tangents(verts, uvs, normals)
+    return MeshData(name="heightfield", verts=verts, normals=normals,
+                    uvs=uvs, tangents=tangents, tangent_signs=signs,
+                    mat_names=["terrain"] * T)
+
+
+def heightfield_scene(grid: int = 128, res: int = 256, spp: int = 16,
+                      compat: bool = False, bvh_depth=None):
+    """Large-scene config (BASELINE config 5-shaped): ~2*grid^2 tris +
+    HDRI sky + glossy Disney terrain."""
+    scene = Scene()
+    scene.add_mesh(heightfield_mesh(grid))
+    mat = Material(name="terrain",
+                   albedo=np.array([0.55, 0.45, 0.35], np.float32),
+                   roughness=0.6, metallic=0.1)
+    mat.compute_aniso_alphas()
+    scene.add_material(mat)
+
+    sky = np.zeros((16, 32, 3), np.float32)
+    sky[:8] = [0.6, 0.7, 0.9]
+    sky[8:] = [0.2, 0.2, 0.2]
+    sky[3, 8] = [50.0, 45.0, 40.0]  # sun
+    scene.add_hdri(HDRI(Texture("sky", sky)))
+
+    scene.camera.position = np.array([0.0, 1.5, -4.0], np.float32)
+    scene.camera.rotation = np.array([15.0, 0.0, 0.0], np.float32)
+    scene.x_res = res
+    scene.y_res = res
+    config, ir = scene.build(bvh_depth=bvh_depth)
+    config = config.replace(sample_target=spp, compat=compat)
+    return scene, config, ir
+
+
 def cornell_scene(res: int = 64, compat: bool = True, spp: int = 4,
                   bvh_depth=None):
     scene = Scene()

@@ -91,6 +91,26 @@ def test_traverse_matches_brute_force():
                                rtol=1e-5)
 
 
+def test_packet_matches_per_ray():
+    from elevenrender_tpu.ops.bvh import traverse_packet
+    tris = random_tris(400, seed=11)
+    bvh = build_bvh(tris)
+    sorted_tris = jnp.asarray(tris[bvh["perm"]])
+    dev = {k: jnp.asarray(bvh[k]) for k in
+           ("node_bmin", "node_bmax", "node_from", "node_to")}
+    o, d = random_rays(500, seed=13)  # not a multiple of tile: tests padding
+    ri, rt = traverse(dev, sorted_tris, o, d, depth=bvh["depth"],
+                      max_leaf=bvh["max_leaf"])
+    for tile in (64, 128):
+        pi, pt = traverse_packet(dev, sorted_tris, o, d, depth=bvh["depth"],
+                                 max_leaf=bvh["max_leaf"], tile=tile)
+        hit = np.asarray(ri) >= 0
+        np.testing.assert_array_equal(hit, np.asarray(pi) >= 0)
+        np.testing.assert_allclose(np.asarray(pt)[hit], np.asarray(rt)[hit],
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
+
+
 def test_traverse_empty_and_single():
     empty = np.zeros((0, 3, 3), np.float32)
     bvh = build_bvh(empty)
