@@ -219,7 +219,10 @@ def render_sample(config, ir, state) -> dict:
     prev_brdf_pdf = jnp.zeros((npix,), jnp.float32)
     had_bounce = jnp.zeros((npix,), bool)
 
-    for bounce in range(config.max_bounces):
+    def bounce_body(bounce, carry):
+        (rng, ray_o, ray_d, light, reduction, alive,
+         aov_normal, aov_tangent, aov_bitangent,
+         prev_brdf_pdf, had_bounce) = carry
         hit_idx, hit_t = _trace(config, ir, ray_o, ray_d)
 
         miss = alive & (hit_idx < 0)
@@ -304,10 +307,12 @@ def render_sample(config, ir, state) -> dict:
              else jnp.maximum(brdf_pdf, 1e-12)[..., None])
         reduction = where3(shade, reduction * throughput, reduction)
 
-        if bounce == 0:
-            aov_normal = where3(shade, n, aov_normal)
-            aov_tangent = where3(shade, hd["tangent"], aov_tangent)
-            aov_bitangent = where3(shade, hd["bitangent"], aov_bitangent)
+        # AOVs only at the first bounce (kernel.cpp:581-585); a bounce-0
+        # opacity pass-through leaves them zero, like the reference.
+        first = shade & (bounce == 0)
+        aov_normal = where3(first, n, aov_normal)
+        aov_tangent = where3(first, hd["tangent"], aov_tangent)
+        aov_bitangent = where3(first, hd["bitangent"], aov_bitangent)
 
         # --- next ray (kernel.cpp:587-592) ------------------------------
         next_o = where3(shade, hit["position"] + wibrdf * 1e-3,
@@ -317,6 +322,17 @@ def render_sample(config, ir, state) -> dict:
         ray_d = where3(alive, next_d, ray_d)
         prev_brdf_pdf = jnp.where(shade, brdf_pdf, prev_brdf_pdf)
         had_bounce = had_bounce | shade
+        return (rng, ray_o, ray_d, light, reduction, alive,
+                aov_normal, aov_tangent, aov_bitangent,
+                prev_brdf_pdf, had_bounce)
+
+    carry = (rng, ray_o, ray_d, light, reduction, alive,
+             aov_normal, aov_tangent, aov_bitangent,
+             prev_brdf_pdf, had_bounce)
+    (rng, ray_o, ray_d, light, reduction, alive,
+     aov_normal, aov_tangent, aov_bitangent,
+     prev_brdf_pdf, had_bounce) = jax.lax.fori_loop(
+        0, config.max_bounces, bounce_body, carry)
 
     # --- progressive accumulation (kernel.cpp:597-645) -------------------
     light = jnp.clip(light, 0.0, config.clamp_radiance)

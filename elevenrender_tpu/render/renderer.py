@@ -33,13 +33,31 @@ def parse_pass(name: str) -> int:
     return _PASS_NAMES.get(name.lower(), BEAUTY)
 
 
+def find_device(name: str):
+    """Device pick by name, the NameSelector analog (Managers.cpp:191-208:
+    the reference matches "name|platform").  Accepts "kind:id|platform",
+    "kind:id", bare platform ("tpu"), or "" -> default device."""
+    devices = jax.devices()
+    if not name:
+        return devices[0]
+    for d in devices:
+        full = f"{d.device_kind}:{d.id}|{d.platform}"
+        if name in (full, f"{d.device_kind}:{d.id}", d.platform, str(d.id)):
+            return d
+    log.warning("Device %r not found; using default", name)
+    return devices[0]
+
+
 class Renderer:
     """Progressive path tracer over a built scene IR."""
 
-    def __init__(self, config, ir):
+    def __init__(self, config, ir, device=None):
         self.config = config
-        self.ir = jax.device_put(ir)
-        self.state = init_state(config)
+        if device is None and config.device:
+            device = find_device(config.device)
+        self.ir = jax.device_put(ir, device)
+        self.state = (init_state(config) if device is None
+                      else jax.device_put(init_state(config), device))
         self._snapshot = self.state
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
@@ -115,6 +133,49 @@ class Renderer:
         if self.config.compat:
             samples -= 1  # setup initializes to 1
         return {"samples": samples}
+
+    # -- checkpoint / resume ----------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        """Serialize the progressive accumulation state (passes + per-pixel
+        sample counts + RNG streams) so a render can resume exactly.
+
+        The reference's accumulator is resumable only in device memory
+        (SURVEY.md §5); this persists it: the carry IS the checkpoint.
+        """
+        with self._lock:
+            snap = self._snapshot
+        np.savez_compressed(
+            path,
+            passes=np.asarray(snap["passes"]),
+            samples=np.asarray(snap["samples"]),
+            rng=np.asarray(snap["rng"]),
+            x_res=self.config.x_res, y_res=self.config.y_res)
+        log.info("Checkpoint saved to %s", path)
+
+    def load_checkpoint(self, path: str) -> None:
+        import jax.numpy as jnp
+        data = np.load(path)
+        if (int(data["x_res"]) != self.config.x_res
+                or int(data["y_res"]) != self.config.y_res):
+            raise ValueError("checkpoint resolution mismatch")
+        self.state = {
+            "passes": jnp.asarray(data["passes"]),
+            "samples": jnp.asarray(data["samples"]),
+            "rng": jnp.asarray(data["rng"]),
+        }
+        with self._lock:
+            self._snapshot = self.state
+        log.info("Checkpoint loaded from %s", path)
+
+    # -- profiling --------------------------------------------------------
+    def profile(self, path: str, n_samples: int = 4) -> None:
+        """Capture a jax.profiler trace of n progressive samples
+        (viewable in TensorBoard / Perfetto)."""
+        jax.block_until_ready(self.state["passes"])
+        with jax.profiler.trace(path):
+            self.step(n_samples)
+            jax.block_until_ready(self.state["passes"])
+        log.info("Profile written to %s", path)
 
     def save_pass(self, name: str, path: str) -> None:
         """save_pass (CommandManager.cpp:403-422): gamma 1/2.2 -> PNG."""

@@ -48,6 +48,8 @@ class RenderConfig:
     denoise: bool = False
     device: str = ""
     block_size: int = 8
+    # Per-pass enables (kernel.h:62-66, all-on default).
+    passes_enabled: tuple = (True, True, True, True, True)
 
     bvh_depth: int = 1
     bvh_max_leaf: int = 1

@@ -41,6 +41,16 @@ class MeshData:
     def tri_count(self) -> int:
         return self.verts.shape[0]
 
+    def translate(self, offset) -> None:
+        """MeshObject::translate (MeshObject.hpp:29-37)."""
+        self.verts = self.verts + np.asarray(offset, np.float32)
+
+    def recompute_normals(self) -> None:
+        """Face-area-weighted vertex normals over shared positions — the
+        vectorized equivalent of MeshObject::recomputeNormals
+        (MeshObject.hpp:62-89, which is O(n^2))."""
+        self.normals = recompute_normals_face_weight(self.verts)
+
 
 def parse_mtl(text: str) -> list[Material]:
     """Parse a .mtl string into Materials.
@@ -106,6 +116,44 @@ def recompute_normals_face_weight(verts: np.ndarray) -> np.ndarray:
         np.where(ln > 1e-20, n / np.maximum(ln, 1e-20), 0.0), np.float32)
 
 
+def _load_objs_native(text: str, recompute_normals: bool):
+    """Post-process the C++ tokenizer output into MeshData per shape."""
+    from ..ops.native import parse_obj_native
+    out = parse_obj_native(text)
+    if out is None:
+        return None
+    tri_pos, tri_nrm, tri_uv, tri_shape, tri_mat, mat_names, shape_names = out
+    meshes: list[MeshData] = []
+    for sid in range(len(shape_names) or (1 if len(tri_pos) else 0)):
+        sel = tri_shape == sid
+        verts = np.ascontiguousarray(tri_pos[sel])
+        nrm = tri_nrm[sel]
+        uv = np.ascontiguousarray(tri_uv[sel])
+        if verts.shape[0] == 0:
+            continue
+        if not np.isfinite(nrm).all():
+            e1 = verts[:, 1] - verts[:, 0]
+            e2 = verts[:, 2] - verts[:, 0]
+            fn = np.cross(e2, e1)
+            ln = np.linalg.norm(fn, axis=-1, keepdims=True)
+            fn = np.where(ln > 1e-12, fn / np.maximum(ln, 1e-12), fn)
+            nrm = np.repeat(fn[:, None, :], 3, axis=1)
+        else:
+            ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
+            nrm = np.where(ln > 1e-12, nrm / np.maximum(ln, 1e-12), nrm)
+        nrm = np.ascontiguousarray(nrm, np.float32)
+        if recompute_normals:
+            nrm = recompute_normals_face_weight(verts)
+        tan, signs = compute_tangents(verts, uv, nrm)
+        mats = [mat_names[m] if 0 <= m < len(mat_names) else ""
+                for m in tri_mat[sel]]
+        meshes.append(MeshData(
+            name=shape_names[sid] if sid < len(shape_names) else "",
+            verts=verts, normals=nrm, uvs=uv, tangents=tan,
+            tangent_signs=signs, mat_names=mats))
+    return meshes
+
+
 def load_objs(obj_source, mtl_text: str | None = None,
               recompute_normals: bool = False
               ) -> tuple[list[MeshData], list[Material]]:
@@ -126,6 +174,13 @@ def load_objs(obj_source, mtl_text: str | None = None,
             text = text.decode('utf-8', 'replace')
     else:
         raise TypeError(type(obj_source))
+
+    # Large inputs: the native C++ tokenizer (same outputs incl. the Z
+    # negation); Python remains the reference/fallback path.
+    if len(text) > 2_000_000:
+        native = _load_objs_native(text, recompute_normals)
+        if native is not None:
+            return native, (parse_mtl(mtl_text) if mtl_text else [])
 
     positions: list[str] = []
     normals: list[str] = []

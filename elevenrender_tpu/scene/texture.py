@@ -99,6 +99,11 @@ class Texture:
         self.data = np.ascontiguousarray(
             np.roll(self.data, shift=(sy, sx), axis=(0, 1)))
 
+    def apply_gamma(self, gamma: float) -> None:
+        """Texture::applyGamma (Texture.cpp:129-133; exact pow, not the
+        reference's fast_pow bit trick)."""
+        self.data = np.power(self.data, gamma).astype(np.float32)
+
     def value_at(self, x: int, y: int) -> np.ndarray:
         """Host-side getValueFromCoordinates (Texture.cpp:172-200) for
         tests and CDF building; returns a 3-vector."""
