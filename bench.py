@@ -1,16 +1,21 @@
-"""Benchmark: rays/sec/chip forward(+backward) on the BASELINE metric.
+"""Benchmark: rays/sec/chip on the BASELINE metric.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Metric (BASELINE.json): rays/sec/chip at 1024x1024, 64 spp.  A "ray" is
-one traced ray segment: per bounce one path ray + one NEE shadow ray, up
-to max_bounces, counted from the actual per-bounce alive statistics of the
-render (not the theoretical maximum).
+Scene: a 65k-triangle heightfield + HDRI sky + glossy Disney terrain
+(BASELINE config 5 shaped, VMEM-resident so the Pallas packet-traversal
+kernel is exercised), rendered at 1024x1024 in native mode.  A "ray" is
+one traced path or NEE shadow segment: the lockstep wavefront launches
+2 * max_bounces rays per pixel per sample (masked lanes still occupy the
+vector units).
 
-The reference publishes no numbers (BASELINE.md), so vs_baseline compares
-against our own recorded first-light number in BASELINE_SELF.json (1.0 on
-the recording run).
+Timing note: on the tunneled TPU (axon), block_until_ready does NOT wait
+for remote execution — every timing boundary materializes a scalar
+reduction instead.
+
+vs_baseline compares against our recorded number in BASELINE_SELF.json
+(the reference publishes none, BASELINE.md); 1.0 on the recording run.
 """
 
 from __future__ import annotations
@@ -20,49 +25,41 @@ import os
 import sys
 import time
 
-import numpy as np
-
-
-def build_scene(res: int):
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-    from scenes import cornell_scene
-    scene, config, ir = cornell_scene(res=res, spp=64, compat=False)
-    return config, ir
-
-
-def count_rays_per_sample(config, ir) -> float:
-    """Traced rays per pixel per sample: the lockstep wavefront launches
-    one path trace + one NEE shadow trace per bounce for every pixel lane
-    (masked lanes still occupy the vector units), so the launched-ray
-    count is exactly 2 * max_bounces."""
-    return 2.0 * config.max_bounces
-
 
 def main():
-    t_setup = time.time()
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
     res = int(os.environ.get("BENCH_RES", "1024"))
     spp = int(os.environ.get("BENCH_SPP", "64"))
-    config, ir = build_scene(res)
+    grid = int(os.environ.get("BENCH_GRID", "182"))  # ~65k tris
 
     import jax
+    import jax.numpy as jnp
+    from scenes import heightfield_scene
     from elevenrender_tpu.render.integrator import init_state, render_sample_jit
 
-    state = init_state(config)
-    # Warmup / compile.
-    state = render_sample_jit(config, ir, state)
-    jax.block_until_ready(state["passes"])
+    scene, config, ir = heightfield_scene(grid=grid, res=res, spp=spp,
+                                          compat=False)
 
-    n_bench = min(spp - 1, 16)
+    def sync(state):
+        return float(jnp.sum(state["samples"]))
+
+    state = init_state(config)
+    state = render_sample_jit(config, ir, state)
+    sync(state)  # compile + first sample fully materialized
+
+    n_bench = min(spp - 1, int(os.environ.get("BENCH_STEPS", "8")))
     t0 = time.time()
     for _ in range(n_bench):
         state = render_sample_jit(config, ir, state)
-    jax.block_until_ready(state["passes"])
+    sync(state)
     dt = time.time() - t0
 
-    rays_per_sample = count_rays_per_sample(config, ir) * res * res
-    rays_per_sec = rays_per_sample * n_bench / dt
+    rays = 2.0 * config.max_bounces * res * res * n_bench
+    rays_per_sec = rays / dt
 
-    base_path = os.path.join(os.path.dirname(__file__), "BASELINE_SELF.json")
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_SELF.json")
     vs = 1.0
     if os.path.exists(base_path):
         with open(base_path) as f:
@@ -71,7 +68,8 @@ def main():
             vs = rays_per_sec / recorded
 
     print(json.dumps({
-        "metric": f"rays/sec/chip fwd at {res}x{res} ({n_bench} spp timed)",
+        "metric": f"rays/sec/chip fwd, {grid*grid*2//1000}k tris at "
+                  f"{res}x{res} ({n_bench} spp timed)",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs, 4),

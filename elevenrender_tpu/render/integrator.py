@@ -362,4 +362,15 @@ def render_sample(config, ir, state) -> dict:
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
 def render_sample_jit(config, ir, state):
+    """Donating step: fastest, but invalidates the input state buffers —
+    use when nothing else holds a reference (benchmarks, batch renders)."""
+    return render_sample(config, ir, state)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def render_sample_jit_safe(config, ir, state):
+    """Non-donating step for the interactive renderer: progressive
+    snapshots handed to get_pass stay valid while the next sample runs
+    (the reference's dual-queue readback relies on the same property,
+    Managers.h:54-56)."""
     return render_sample(config, ir, state)

@@ -3,10 +3,12 @@
 Equivalent of RenderingManager (/root/reference/src/Managers.h:41-67,
 Managers.cpp:211-302): the reference launches a render thread that submits
 one kernel per sample and reads passes/progress through a second SYCL
-queue while rendering.  Here the accumulator state is a donated jit carry;
-a background thread steps ``render_sample_jit`` and snapshots are taken
-between steps — same progressive-readback semantics without data races
-(JAX arrays are immutable; a snapshot is just a reference).
+queue while rendering.  Here a background thread steps a NON-donating jit
+(``render_sample_jit_safe``) and snapshots are taken between steps — same
+progressive-readback semantics without data races: JAX arrays are
+immutable, a snapshot is just a reference, and because the step does not
+donate, a snapshot handed to get_pass stays valid while the next sample
+runs.
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ import jax
 from ..utils.logging import get_logger
 from . import denoise as denoise_mod
 from .integrator import (BEAUTY, BITANGENT, DENOISE, NORMAL, PASSES_COUNT,
-                         TANGENT, init_state, render_sample_jit)
+                         TANGENT, init_state, render_sample_jit_safe)
 
 log = get_logger()
 
@@ -67,7 +69,7 @@ class Renderer:
     def step(self, n: int = 1) -> None:
         """Run n progressive samples synchronously."""
         for _ in range(n):
-            self.state = render_sample_jit(self.config, self.ir, self.state)
+            self.state = render_sample_jit_safe(self.config, self.ir, self.state)
         with self._lock:
             self._snapshot = self.state
 
@@ -82,7 +84,7 @@ class Renderer:
             for s in range(target):
                 if self._stop.is_set():
                     break
-                self.state = render_sample_jit(self.config, self.ir, self.state)
+                self.state = render_sample_jit_safe(self.config, self.ir, self.state)
                 with self._lock:
                     self._snapshot = self.state
             jax.block_until_ready(self.state["passes"])
