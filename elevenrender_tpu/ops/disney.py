@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.vecmath import PIF, dot, lerp, normalize, reflect, vec3, where3
+from ..core.vecmath import PIF, dot, lerp, normalize, reflect, where3
 from .sampling import cosine_sample_hemisphere, importance_sample_ggx
 
 

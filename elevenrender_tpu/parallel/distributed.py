@@ -32,7 +32,7 @@ import numpy as np
 
 import jax
 
-from .mesh import PIXEL_AXIS, make_mesh
+from .mesh import make_mesh
 
 
 def initialize(coordinator_address: str | None = None,

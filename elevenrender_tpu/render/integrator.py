@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rng as rng_mod
-from ..core.vecmath import dot, normalize, vec3, where3
+from ..core.vecmath import dot, normalize, where3
 from ..ops import bvh as bvh_ops
 from ..ops import hdri as hdri_ops
 from ..ops.disney import disney_eval, disney_pdf, disney_sample

@@ -8,7 +8,7 @@ user-facing API.
 
 from __future__ import annotations
 
-import json
+
 import socket
 
 import numpy as np

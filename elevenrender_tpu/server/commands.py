@@ -30,7 +30,7 @@ from ..scene.camera import Camera
 from ..scene.hdri import HDRI
 from ..scene.ir import RenderConfig
 from ..scene.material import Material
-from ..scene.objloader import load_objs, parse_mtl
+from ..scene.objloader import load_objs
 from ..scene.scene import Scene
 from ..scene.texture import Texture
 from ..utils.logging import get_logger

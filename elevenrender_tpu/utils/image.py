@@ -90,10 +90,84 @@ def read_png(path: str) -> np.ndarray:
     return (out.reshape(h, w, c).astype(np.float32)) / 255.0
 
 
+def write_hdr(path: str, img: np.ndarray) -> None:
+    """Write a Radiance RGBE (.hdr) image; img: [H, W, 3] float32 HDR."""
+    img = np.asarray(img, np.float32)
+    h, w, _ = img.shape
+    maxc = img.max(axis=-1)
+    exp = np.zeros((h, w), np.int32)
+    mant = np.zeros((h, w), np.float32)
+    nz = maxc > 1e-32
+    m, e = np.frexp(np.where(nz, maxc, 1.0))
+    exp[nz] = e[nz]
+    mant[nz] = m[nz]
+    scale = np.where(nz, mant * 256.0 / np.maximum(maxc, 1e-32), 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None] + 0.5, 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, exp + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())  # flat (non-RLE) scanlines
+
+
+def read_hdr(path: str) -> np.ndarray:
+    """Read a Radiance RGBE (.hdr) image -> [H, W, 3] float32.
+
+    Supports flat and adaptive-RLE scanlines (the stb-compatible format
+    the reference reads via stbi_loadf, Texture.cpp:26)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if not (data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE")):
+        raise ValueError("not a Radiance HDR file")
+    pos = data.index(b"\n\n") + 2 if b"\n\n" in data[:500] else 0
+    if pos == 0:  # headers separated by single blank line variants
+        pos = data.index(b"\n-Y")
+        pos = data.rindex(b"\n", 0, pos) + 1
+    dim_end = data.index(b"\n", pos)
+    dims = data[pos:dim_end].split()
+    assert dims[0] == b"-Y" and dims[2] == b"+X", "unsupported orientation"
+    h, w = int(dims[1]), int(dims[3])
+    pos = dim_end + 1
+
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    buf = memoryview(data)
+    for y in range(h):
+        if pos + 4 <= len(data) and data[pos] == 2 and data[pos + 1] == 2 \
+                and (data[pos + 2] << 8 | data[pos + 3]) == w:
+            pos += 4  # adaptive RLE scanline, per-component
+            for c in range(4):
+                x = 0
+                while x < w:
+                    count = data[pos]
+                    pos += 1
+                    if count > 128:  # run
+                        rgbe[y, x:x + count - 128, c] = data[pos]
+                        x += count - 128
+                        pos += 1
+                    else:  # literal
+                        rgbe[y, x:x + count, c] = np.frombuffer(
+                            buf[pos:pos + count], np.uint8)
+                        x += count
+                        pos += count
+        else:  # flat scanline
+            row = np.frombuffer(buf[pos:pos + w * 4], np.uint8)
+            rgbe[y] = row.reshape(w, 4)
+            pos += w * 4
+
+    # stb convention: value = c * 2^(e-136), zero when e == 0.
+    exp = rgbe[..., 3].astype(np.int32)
+    scale = np.where(exp > 0, np.ldexp(1.0, exp - 136), 0.0).astype(np.float32)
+    return rgbe[..., :3].astype(np.float32) * scale[..., None]
+
+
 def read_image(path: str) -> np.ndarray:
-    """Dispatch by extension; PNG natively, else try PIL if present."""
-    if path.lower().endswith(".png"):
+    """Dispatch by extension; PNG and Radiance HDR natively, else PIL."""
+    low = path.lower()
+    if low.endswith(".png"):
         return read_png(path)
+    if low.endswith(".hdr") or low.endswith(".rgbe"):
+        return read_hdr(path)
     try:
         from PIL import Image
         arr = np.asarray(Image.open(path)).astype(np.float32) / 255.0
