@@ -37,7 +37,7 @@ TILE = SUB * LANE  # 1024
 
 def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, idx_out, t_out, *, depth, max_leaf,
-            stack_smem):
+            stack_smem, use_cond=True):
     D = depth
 
     ox = ox_ref[...]
@@ -141,14 +141,27 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         at_leaf_parent = ndep == D - 1
 
         # Right child first, then left (BVH.cpp:81-87).
-        best_idx, best_t = jax.lax.cond(
-            at_leaf_parent & r_over,
-            lambda c: leaf_scan(r_idx, *c), lambda c: c,
-            (best_idx, best_t))
-        best_idx, best_t = jax.lax.cond(
-            at_leaf_parent & l_over,
-            lambda c: leaf_scan(l_idx, *c), lambda c: c,
-            (best_idx, best_t))
+        if use_cond:
+            best_idx, best_t = jax.lax.cond(
+                at_leaf_parent & r_over,
+                lambda c: leaf_scan(r_idx, *c), lambda c: c,
+                (best_idx, best_t))
+            best_idx, best_t = jax.lax.cond(
+                at_leaf_parent & l_over,
+                lambda c: leaf_scan(l_idx, *c), lambda c: c,
+                (best_idx, best_t))
+        else:
+            # Cond-free variant: scans run every iteration, results are
+            # masked in.  More VPU work per step but simpler control flow
+            # for Mosaic.
+            take_r = at_leaf_parent & r_over
+            bi, bt = leaf_scan(r_idx, best_idx, best_t)
+            best_idx = jnp.where(take_r, bi, best_idx)
+            best_t = jnp.where(take_r, bt, best_t)
+            take_l = at_leaf_parent & l_over
+            bi, bt = leaf_scan(l_idx, best_idx, best_t)
+            best_idx = jnp.where(take_l, bi, best_idx)
+            best_t = jnp.where(take_l, bt, best_t)
 
         trav_l = l_over & ~at_leaf_parent
         trav_r = r_over & ~at_leaf_parent
@@ -182,14 +195,19 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "max_leaf",
-                                             "interpret"))
+                                             "interpret", "use_cond"))
 def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
-                    max_leaf: int, interpret: bool = False):
+                    max_leaf: int, interpret: bool = False,
+                    use_cond: bool = True):
     """nodes: [NN, 8] f32 (bmin3, bmax3, pad2); leaf: [NN, 2] i32
     (from, to); tris9: [T, 16] f32 (9 verts + pad) in leaf order;
     ray_o/ray_d: [N, 3].  Returns (idx [N] i32, t [N] f32)."""
     N = ray_o.shape[0]
-    pad = (-N) % TILE
+    # Chunk tiles so the blocked ray arrays of one kernel launch stay well
+    # inside VMEM (XLA scope-allocates all of a launch's operands; 64+
+    # tiles of 6 ray components + 2 outputs blew the 16MB budget).
+    CHUNK = 8
+    pad = (-N) % (TILE * CHUNK)
     if pad:
         ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3), ray_o.dtype)])
         ray_d = jnp.concatenate(
@@ -197,14 +215,15 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                              (pad, 1))])
     NP = N + pad
     NT = NP // TILE
+    n_chunks = NT // CHUNK
 
     comps = []
     for arr in (ray_o, ray_d):
         for c in range(3):
-            comps.append(arr[:, c].reshape(NT, SUB, LANE))
+            comps.append(arr[:, c].reshape(n_chunks, CHUNK, SUB, LANE))
 
     grid_spec = pl.GridSpec(
-        grid=(NT,),
+        grid=(CHUNK,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes (whole table)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # leaf
@@ -236,17 +255,23 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
 
         _kernel(nodes_ref, leaf_ref, tri_ref, *sq,
                 squeeze_out(idx_out), squeeze_out(t_out),
-                depth=depth, max_leaf=max_leaf, stack_smem=stack)
+                depth=depth, max_leaf=max_leaf, stack_smem=stack,
+                use_cond=use_cond)
 
-    idx, t = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((NT, SUB, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((NT, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((CHUNK, SUB, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((CHUNK, SUB, LANE), jnp.float32),
         ],
         interpret=interpret,
-    )(nodes, leaf, tris9, *comps)
+    )
+
+    def one_chunk(chunk_comps):
+        return call(nodes, leaf, tris9, *chunk_comps)
+
+    idx, t = jax.lax.map(one_chunk, tuple(comps))
     return idx.reshape(-1)[:N], t.reshape(-1)[:N]
 
 

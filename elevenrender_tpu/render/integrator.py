@@ -78,27 +78,43 @@ def _trace(config, ir, ray_o, ray_d):
             mode = "brute"
         elif jax.default_backend() == "cpu":
             mode = "per_ray"  # CPU gathers are fine; Pallas would interpret
-        elif tris.shape[0] <= 400_000:  # VMEM-resident limit
+        elif tris.shape[0] <= 120_000:  # VMEM-resident limit (~8MB tris)
             mode = "pallas"
         else:
             mode = "packet"
     if mode == "brute":
         return bvh_ops.brute_force(tris, ray_o, ray_d)
+
+    if mode in ("pallas", "packet") and config.sort_rays:
+        # Packet coherence: tiles must be spatially compact (ops/sort.py).
+        from ..ops.sort import sort_for_packets
+        order, inverse = sort_for_packets(
+            ray_o, ray_d, ir["bvh"]["node_bmin"][0], ir["bvh"]["node_bmax"][0])
+        ray_o = ray_o[order]
+        ray_d = ray_d[order]
+    else:
+        order = inverse = None
+
     if mode == "pallas":
         from ..ops.bvh_pallas import traverse_pallas
         bp = ir["bvh_packed"]
-        return traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
-                               ray_o, ray_d, depth=config.bvh_depth,
-                               max_leaf=config.bvh_max_leaf,
-                               interpret=jax.default_backend() == "cpu")
-    if mode == "packet":
-        return bvh_ops.traverse_packet(ir["bvh"], tris, ray_o, ray_d,
-                                       depth=config.bvh_depth,
-                                       max_leaf=config.bvh_max_leaf,
-                                       tile=config.packet_tile)
-    return bvh_ops.traverse(ir["bvh"], tris, ray_o, ray_d,
-                            depth=config.bvh_depth,
-                            max_leaf=config.bvh_max_leaf)
+        idx, t = traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
+                                 ray_o, ray_d, depth=config.bvh_depth,
+                                 max_leaf=config.bvh_max_leaf,
+                                 interpret=jax.default_backend() == "cpu")
+    elif mode == "packet":
+        idx, t = bvh_ops.traverse_packet(ir["bvh"], tris, ray_o, ray_d,
+                                         depth=config.bvh_depth,
+                                         max_leaf=config.bvh_max_leaf,
+                                         tile=config.packet_tile)
+    else:
+        return bvh_ops.traverse(ir["bvh"], tris, ray_o, ray_d,
+                                depth=config.bvh_depth,
+                                max_leaf=config.bvh_max_leaf)
+    if inverse is not None:
+        idx = idx[inverse]
+        t = t[inverse]
+    return idx, t
 
 
 def _generate_hitdata(config, ir, hit, ray_d):
@@ -374,3 +390,12 @@ def render_sample_jit_safe(config, ir, state):
     (the reference's dual-queue readback relies on the same property,
     Managers.h:54-56)."""
     return render_sample(config, ir, state)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=2)
+def render_samples_jit(config, ir, state, n: int):
+    """n progressive samples in ONE dispatch (lax.fori_loop), amortizing
+    per-launch overhead — the analog of enqueueing several sample kernels
+    back-to-back (kernel.cpp:689-699) but without host round-trips."""
+    return jax.lax.fori_loop(
+        0, n, lambda i, st: render_sample(config, ir, st), state)

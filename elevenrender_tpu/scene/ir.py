@@ -64,6 +64,9 @@ class RenderConfig:
     # walk (slow on TPU: per-lane gathers), "packet"/"brute" force one.
     trace_mode: str = "auto"
     packet_tile: int = 128
+    # Morton-sort rays before packet/pallas traversal (ops/sort.py) so
+    # tiles stay spatially compact; essential for secondary/shadow rays.
+    sort_rays: bool = True
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

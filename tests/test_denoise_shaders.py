@@ -1,0 +1,77 @@
+"""Denoiser (OIDN replacement) + programmable shader registry tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from elevenrender_tpu.render import shaders
+from elevenrender_tpu.render.denoise import bilateral_denoise, denoise
+from elevenrender_tpu.render.renderer import Renderer
+
+from scenes import cornell_scene
+
+
+def test_denoise_reduces_variance_keeps_edges():
+    rng = np.random.default_rng(0)
+    h = w = 32
+    clean = np.zeros((h, w, 3), np.float32)
+    clean[:, w // 2:] = 1.0  # vertical edge
+    noisy = clean + rng.normal(0, 0.15, clean.shape).astype(np.float32)
+
+    out = np.asarray(bilateral_denoise(jnp.asarray(noisy)))
+    # Noise reduced on flat regions...
+    flat_before = noisy[:, : w // 2 - 4].std()
+    flat_after = out[:, : w // 2 - 4].std()
+    assert flat_after < flat_before * 0.6
+    # ...edge magnitude preserved (means of the two sides stay apart).
+    assert out[:, : w // 2 - 2].mean() < 0.3
+    assert out[:, w // 2 + 2:].mean() > 0.7
+
+
+def test_denoise_float4_entry():
+    rng = np.random.default_rng(1)
+    raw = rng.uniform(0, 1, 16 * 16 * 4).astype(np.float32)
+    out = np.asarray(denoise(16, 16, raw))
+    assert out.shape == (16 * 16 * 4,)
+    np.testing.assert_allclose(out[3::4], 1.0)  # alpha forced to 1
+
+
+def test_shader_registry_overrides_albedo():
+    try:
+        def red_shader(position, view_dir, normal, gnormal, tu, tv):
+            return jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]),
+                                    position.shape[:-1] + (3,))
+
+        shaders.register_shader(0, red_shader)
+
+        scene, config, ir = cornell_scene(res=16, spp=2)
+        config = config.replace(compat=False, max_bounces=2)
+
+        r_base = Renderer(config, ir)
+        r_base.step(4)
+        base = r_base.get_pass("beauty").reshape(16, 16, 4)[..., :3]
+
+        # Assign shader 0 to the white wall material.
+        ir2 = dict(ir)
+        ir2["materials"] = {**ir["materials"],
+                            "shader": ir["materials"]["shader"].at[0].set(0)}
+        r = Renderer(config, ir2)
+        r.step(4)
+        img = r.get_pass("beauty").reshape(16, 16, 4)[..., :3]
+
+        changed = np.abs(img - base).sum(-1) > 1e-4
+        assert changed.any()
+        # On affected pixels the red channel gains relative to green.
+        delta = (img - base)[changed]
+        assert delta[:, 0].sum() > delta[:, 1].sum()
+    finally:
+        shaders.reset_shaders()
+
+
+def test_placeholder_shader_is_yellow():
+    """Unregistered slots keep the reference placeholder's constant yellow
+    (shader_placeholder.cpp)."""
+    out = shaders.apply_shaders(
+        jnp.array([2]), jnp.zeros((1, 3)), jnp.zeros((1, 3)),
+        jnp.zeros((1, 3)), jnp.zeros((1, 3)), jnp.zeros((1, 3)),
+        jnp.zeros(1), jnp.zeros(1))
+    np.testing.assert_allclose(np.asarray(out)[0], [1.0, 1.0, 0.0])

@@ -94,22 +94,26 @@ def test_camera_and_hdri_gradients_finite():
     img0 = render_sample_jit(config, ir, state)["passes"][BEAUTY, :, :3]
     target = jax.lax.stop_gradient(img0 * 1.5)
 
-    def loss(cam_pos, env_img):
+    def loss(cam_rot, cam_pos, env_img):
         ir2 = dict(ir)
-        ir2["camera"] = {**ir["camera"], "position": cam_pos}
+        ir2["camera"] = {**ir["camera"], "rotation": cam_rot,
+                         "position": cam_pos}
         ir2["env"] = {**ir["env"], "img": env_img}
         from elevenrender_tpu.render.integrator import render_sample
         st = render_sample(config, ir2, init_state(config))
         return jnp.mean((st["passes"][BEAUTY, :, :3] - target) ** 2)
 
-    g_cam, g_env = jax.grad(loss, argnums=(0, 1))(
-        ir["camera"]["position"], ir["env"]["img"])
-    assert np.isfinite(np.asarray(g_cam)).all()
+    g_rot, g_pos, g_env = jax.grad(loss, argnums=(0, 1, 2))(
+        ir["camera"]["rotation"], ir["camera"]["position"], ir["env"]["img"])
+    assert np.isfinite(np.asarray(g_rot)).all()
+    assert np.isfinite(np.asarray(g_pos)).all()
     assert np.isfinite(np.asarray(g_env)).all()
-    # The environment is visible (miss rays + NEE), so its gradient must
-    # be nonzero; camera position perturbs every ray.
+    # Env is visible (miss rays + NEE) -> nonzero grad.  Rotation changes
+    # ray directions -> wo -> the BSDF -> nonzero grad.  (Position's grad
+    # is legitimately ~0 with constant materials: radiance depends on the
+    # origin only through discrete hit selection, which is detached.)
     assert np.abs(np.asarray(g_env)).sum() > 0
-    assert np.abs(np.asarray(g_cam)).sum() > 0
+    assert np.abs(np.asarray(g_rot)).sum() > 0
 
 
 def test_sharded_render_matches_single_device():
