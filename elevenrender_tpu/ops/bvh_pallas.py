@@ -222,12 +222,22 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
         for c in range(3):
             comps.append(arr[:, c].reshape(n_chunks, CHUNK, SUB, LANE))
 
+    nodes_shape = nodes.shape
+    leaf_shape = leaf.shape
+    tris_shape = tris9.shape
+
     grid_spec = pl.GridSpec(
         grid=(CHUNK,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes (whole table)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # leaf
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # tris
+            # Whole tables with CONSTANT index maps: Mosaic then keeps ONE
+            # VMEM buffer across grid steps (an unblocked spec allocated a
+            # fresh copy per step -> scoped-VMEM OOM).
+            pl.BlockSpec(nodes_shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(leaf_shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris_shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ] + [
             pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
