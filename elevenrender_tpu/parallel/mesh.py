@@ -54,7 +54,9 @@ def shard_render_state(state: dict, mesh: Mesh) -> dict:
 
 
 def sharded_render_step(config, mesh: Mesh):
-    """Build a jitted one-sample step with explicit output shardings."""
+    """Build a jitted one-sample step with explicit output shardings
+    (GSPMD path — fine for the jnp trace modes, where XLA partitions the
+    whole program over the pixel axis)."""
     from ..render.integrator import render_sample
 
     state_sharding = {
@@ -67,3 +69,40 @@ def sharded_render_step(config, mesh: Mesh):
         return render_sample(config, ir, state)
 
     return jax.jit(step, out_shardings=state_sharding, donate_argnums=1)
+
+
+def shard_map_render_step(config, mesh: Mesh):
+    """Explicit per-device step via shard_map: each device runs the
+    integrator (including Pallas kernels, which GSPMD cannot partition)
+    on its OWN pixel slice, with globally-correct pixel indices.
+
+    This is the multi-chip path for trace_mode="pallas"/"packet"."""
+    import jax.numpy as jnp
+    shard_map = jax.shard_map
+    from ..render.integrator import render_sample
+
+    n_dev = mesh.size
+    npix = config.x_res * config.y_res
+    if npix % n_dev != 0:
+        raise ValueError(f"{npix} pixels not divisible by {n_dev} devices")
+    local = npix // n_dev
+
+    state_specs = {"passes": P(None, PIXEL_AXIS, None),
+                   "samples": P(PIXEL_AXIS), "rng": P(PIXEL_AXIS)}
+
+    def ir_specs(ir):
+        return jax.tree.map(lambda _: P(), ir)
+
+    def make(ir_tree):
+        @jax.jit
+        def step(ir, state):
+            def local_step(ir, state):
+                off = jax.lax.axis_index(PIXEL_AXIS).astype(jnp.int32) * local
+                return render_sample(config, ir, state, pixel_offset=off)
+            return shard_map(local_step, mesh=mesh,
+                             in_specs=(ir_specs(ir_tree), state_specs),
+                             out_specs=state_specs,
+                             check_rep=False)(ir, state)
+        return step
+
+    return make

@@ -199,17 +199,22 @@ def _point_light_nee(config, ir, hd, wo, state_rng, shade):
     return state_rng, contrib
 
 
-def render_sample(config, ir, state) -> dict:
-    """Advance the accumulators by ONE progressive sample for every pixel.
+def render_sample(config, ir, state, pixel_offset=0) -> dict:
+    """Advance the accumulators by ONE progressive sample for every pixel
+    in ``state`` (the full image, or a shard of it).
 
     The jitted unit of work; the launch loop (renderer.py) replaces the
     reference's one-queue-submit-per-sample (kernel.cpp:689-699).
+
+    ``pixel_offset``: global index of this state slice's first pixel —
+    pass ``axis_index * local_npix`` under shard_map so camera rays and
+    RNG streams stay globally correct (parallel/mesh.py).
     """
     x_res, y_res = config.x_res, config.y_res
-    npix = x_res * y_res
+    npix = state["samples"].shape[0]
     rng = state["rng"]
 
-    idx = jnp.arange(npix, dtype=jnp.int32)
+    idx = pixel_offset + jnp.arange(npix, dtype=jnp.int32)
     px = idx % x_res
     py = idx // x_res
 

@@ -136,3 +136,21 @@ def test_sharded_render_matches_single_device():
     out = step(ir_r, st)
     np.testing.assert_allclose(np.asarray(out["passes"]), ref_img,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_shard_map_render_matches_single_device():
+    """Explicit shard_map path (required for Pallas multi-chip) produces
+    the same image as single-device, incl. global pixel index handling."""
+    from elevenrender_tpu.parallel.mesh import shard_map_render_step
+    config, ir = small_config()
+    state = init_state(config)
+    ref = render_sample_jit(config, ir, state)
+    ref_img = np.asarray(ref["passes"])
+
+    mesh = make_mesh(8)
+    ir_r = replicate_ir(ir, mesh)
+    st = shard_render_state(init_state(config), mesh)
+    step = shard_map_render_step(config, mesh)(ir_r)
+    out = step(ir_r, st)
+    np.testing.assert_allclose(np.asarray(out["passes"]), ref_img,
+                               rtol=1e-4, atol=1e-5)
