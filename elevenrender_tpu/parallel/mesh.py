@@ -102,7 +102,7 @@ def shard_map_render_step(config, mesh: Mesh):
             return shard_map(local_step, mesh=mesh,
                              in_specs=(ir_specs(ir_tree), state_specs),
                              out_specs=state_specs,
-                             check_rep=False)(ir, state)
+                             check_vma=False)(ir, state)
         return step
 
     return make
