@@ -55,12 +55,12 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         ray overlaps (BVH.cpp:27-61 semantics) AND could still find a
         closer hit there (tmin > best_t prunes exactly: any hit inside has
         t >= tmin, and the nearest rule is strict '<')."""
-        bx1 = nodes_ref[n, 0]
-        by1 = nodes_ref[n, 1]
-        bz1 = nodes_ref[n, 2]
-        bx2 = nodes_ref[n, 3]
-        by2 = nodes_ref[n, 4]
-        bz2 = nodes_ref[n, 5]
+        bx1 = nodes_ref[0, n]
+        by1 = nodes_ref[1, n]
+        bz1 = nodes_ref[2, n]
+        bx2 = nodes_ref[3, n]
+        by2 = nodes_ref[4, n]
+        bz2 = nodes_ref[5, n]
         t1 = (bx1 - ox) * inv_x
         t2 = (bx2 - ox) * inv_x
         t3 = (by1 - oy) * inv_y
@@ -80,8 +80,8 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         return jnp.any(hit)
 
     def leaf_scan(n, best_idx, best_t):
-        frm = leaf_ref[n, 0]
-        to = leaf_ref[n, 1]
+        frm = leaf_ref[0, n]
+        to = leaf_ref[1, n]
 
         def tri_body(j, carry):
             best_idx, best_t = carry
@@ -89,15 +89,18 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
             def do(carry):
                 best_idx, best_t = carry
-                v0x = tri_ref[slot, 0]
-                v0y = tri_ref[slot, 1]
-                v0z = tri_ref[slot, 2]
-                e1x = tri_ref[slot, 3] - v0x
-                e1y = tri_ref[slot, 4] - v0y
-                e1z = tri_ref[slot, 5] - v0z
-                e2x = tri_ref[slot, 6] - v0x
-                e2y = tri_ref[slot, 7] - v0y
-                e2z = tri_ref[slot, 8] - v0z
+                # Clamp the LOAD index (the cond-free variant reads past
+                # `to` before masking); `ok` still uses the true slot.
+                s = jnp.minimum(slot, tri_ref.shape[1] - 1)
+                v0x = tri_ref[0, s]
+                v0y = tri_ref[1, s]
+                v0z = tri_ref[2, s]
+                e1x = tri_ref[3, s] - v0x
+                e1y = tri_ref[4, s] - v0y
+                e1z = tri_ref[5, s] - v0z
+                e2x = tri_ref[6, s] - v0x
+                e2y = tri_ref[7, s] - v0y
+                e2z = tri_ref[8, s] - v0z
                 # pvec = d x e2
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
@@ -199,9 +202,10 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                     max_leaf: int, interpret: bool = False,
                     use_cond: bool = True):
-    """nodes: [NN, 8] f32 (bmin3, bmax3, pad2); leaf: [NN, 2] i32
-    (from, to); tris9: [T, 16] f32 (9 verts + pad) in leaf order;
-    ray_o/ray_d: [N, 3].  Returns (idx [N] i32, t [N] f32)."""
+    """nodes: [8, NN'] f32 (bmin3, bmax3, pad2); leaf: [2, NN'] i32
+    (from, to); tris9: [9, T'] f32 in leaf order (component-major, see
+    pack_bvh_for_pallas); ray_o/ray_d: [N, 3].
+    Returns (idx [N] i32, t [N] f32)."""
     N = ray_o.shape[0]
     # Chunk tiles so the blocked ray arrays of one kernel launch stay well
     # inside VMEM (XLA scope-allocates all of a launch's operands; 64+
@@ -286,15 +290,26 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
 
 
 def pack_bvh_for_pallas(bvh: dict, tri_verts_sorted) -> tuple:
-    """Host-side packing: nodes -> [NN, 8] f32, leaves -> [NN, 2] i32,
-    tris -> [T, 16] f32 (padded rows for aligned scalar loads)."""
+    """Host-side packing, component-major so the LARGE axis is the VMEM
+    lane axis: nodes -> [8, NN'] f32 (bmin3, bmax3, pad2), leaves ->
+    [2, NN'] i32, tris -> [9, T'] f32; NN'/T' padded to lane multiples.
+
+    (A [N, 8] layout pads the 8 to 128 lanes in VMEM — a 16x memory
+    blowup that OOM'd the 16MB scoped budget.)
+    """
     import numpy as np
+
+    def pad128(n):
+        return -(-max(n, 1) // 128) * 128
+
     nn = bvh["node_bmin"].shape[0]
-    nodes = np.zeros((nn, 8), np.float32)
-    nodes[:, 0:3] = bvh["node_bmin"]
-    nodes[:, 3:6] = bvh["node_bmax"]
-    leaf = np.stack([bvh["node_from"], bvh["node_to"]], axis=1).astype(np.int32)
+    nodes = np.zeros((8, pad128(nn)), np.float32)
+    nodes[0:3, :nn] = bvh["node_bmin"].T
+    nodes[3:6, :nn] = bvh["node_bmax"].T
+    leaf = np.zeros((2, pad128(nn)), np.int32)
+    leaf[0, :nn] = bvh["node_from"]
+    leaf[1, :nn] = bvh["node_to"]
     tv = np.asarray(tri_verts_sorted, np.float32).reshape(-1, 9)
-    tris9 = np.zeros((max(tv.shape[0], 1), 16), np.float32)
-    tris9[:tv.shape[0], :9] = tv
+    tris9 = np.zeros((9, pad128(tv.shape[0])), np.float32)
+    tris9[:, :tv.shape[0]] = tv.T
     return jnp.asarray(nodes), jnp.asarray(leaf), jnp.asarray(tris9)

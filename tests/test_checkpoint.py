@@ -30,6 +30,26 @@ def test_checkpoint_resume_exact(tmp_path):
     np.testing.assert_array_equal(resumed, ref)
 
 
+def test_pause_and_resume_render():
+    """stop() pauses; start() resumes from the accumulated state (the
+    reference declares pause/abort but never implements them,
+    main.cpp:58-62)."""
+    import time
+    scene, config, ir = cornell_scene(res=16, spp=64)
+    config = config.replace(max_bounces=1)
+    r = Renderer(config, ir)
+    r.step(1)  # compile before the async thread to keep timing sane
+    r.start(sample_target=1_000_000)  # far more than 0.5s can finish
+    time.sleep(0.5)
+    r.stop()
+    r.join()
+    mid = r.get_render_info()["samples"]
+    assert 1 <= mid < 1_000_000
+    r.start(sample_target=3)
+    r.join()
+    assert r.get_render_info()["samples"] == mid + 3
+
+
 def test_checkpoint_resolution_guard(tmp_path):
     scene, config, ir = cornell_scene(res=16, spp=1)
     config = config.replace(max_bounces=1)
