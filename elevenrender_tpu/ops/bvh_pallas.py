@@ -6,18 +6,31 @@ Tri.h:41-144) with a TPU-shaped design:
 - The ray grid is tiled; each grid step traverses the BVH ONCE for a tile
   of TILE rays (classic packet tracing).  Traversal state (node, depth,
   stack) is *scalar*; the stack lives in SMEM.
-- Node AABBs and leaf triangles are fetched with scalar loads from
-  VMEM-resident tables and broadcast to the whole tile — ZERO per-lane
-  gathers, which XLA executes near-serially on TPU and which made the
-  pure-jnp traversal memory-bound.
+- Node AABBs and leaf triangles are fetched from VMEM-resident tables and
+  broadcast to the whole tile — ZERO per-lane gathers (XLA executes those
+  near-serially on TPU, which made the pure-jnp traversal memory-bound).
 - Slab tests and Möller-Trumbore run as [8, TILE/8] vector ops on the
-  VPU; a tile descends iff any of its rays overlaps the child.
-- Unlike the lax.while_loop formulation, each tile runs its OWN trip
-  count — no global lockstep against the slowest tile.
+  VPU; a tile descends iff any of its rays overlaps the child, with exact
+  early termination (a child whose entry distance exceeds every ray's
+  current best is pruned).
+- Each tile runs its OWN trip count — no global lockstep against the
+  slowest tile (unlike a lax.while_loop over all rays).
 
-Limits (v1): the whole scene (node table + tri verts) must fit in VMEM —
-fine to ~300k tris; larger scenes fall back to the jnp paths until the
-HBM-streaming variant lands.
+Mosaic memory-layout constraints (learned the hard way on v5e):
+- dynamic indexing is allowed on the SUBLANE (second-to-minor) dim only;
+  lane indices must be static — so tables cannot be component-major.
+- a [N, 8] row layout pads rows to 128 lanes (16x VMEM blowup -> scoped
+  OOM at 65k tris).
+The packing that satisfies both: EIGHT entries of 16 lanes per 128-lane
+row.  Entry i lives at row i>>3, lanes (i&7)*16..+15.  One dynamic-
+sublane vector load fetches the row; fields are extracted at static lane
+positions and the entry is chosen with an (i&7)-select.  64 bytes/entry —
+no padding waste; a 65k-tri scene needs ~8MB of VMEM.
+
+Limits (v1): the whole scene must fit in VMEM — to ~150k tris; larger
+scenes fall back to the jnp paths until the HBM-streaming variant lands.
+
+Ray tiles must be spatially coherent — see ops/sort.py.
 """
 
 from __future__ import annotations
@@ -34,10 +47,35 @@ SUB = 8
 LANE = 128
 TILE = SUB * LANE  # 1024
 
+ENTRY_LANES = 16
+ENTRIES_PER_ROW = LANE // ENTRY_LANES  # 8
+
+
+def _row_vec(ref, row):
+    """One table row as a (1, 128) vector (dynamic sublane index)."""
+    return ref[pl.ds(row, 1), :]
+
+
+def _select_entry(vals, e):
+    """vals: list of 8 per-entry scalars; pick entry e (scalar select)."""
+    out = vals[0]
+    for k in range(1, ENTRIES_PER_ROW):
+        out = jnp.where(e == k, vals[k], out)
+    return out
+
+
+def _entry_scalars(row, e, lanes):
+    """Extract per-entry fields at static lane offsets; select by e."""
+    outs = []
+    for c in lanes:
+        cands = [row[0, k * ENTRY_LANES + c] for k in range(ENTRIES_PER_ROW)]
+        outs.append(_select_entry(cands, e))
+    return outs
+
 
 def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, idx_out, t_out, *, depth, max_leaf,
-            stack_smem, use_cond=True):
+            stack_smem):
     D = depth
 
     ox = ox_ref[...]
@@ -53,14 +91,11 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
     def aabb_any(n, best_t):
         """Slab test of the whole tile against node n's box; True if any
         ray overlaps (BVH.cpp:27-61 semantics) AND could still find a
-        closer hit there (tmin > best_t prunes exactly: any hit inside has
-        t >= tmin, and the nearest rule is strict '<')."""
-        bx1 = nodes_ref[0, n]
-        by1 = nodes_ref[1, n]
-        bz1 = nodes_ref[2, n]
-        bx2 = nodes_ref[3, n]
-        by2 = nodes_ref[4, n]
-        bz2 = nodes_ref[5, n]
+        closer hit (tmin >= best_t prunes exactly under the strict-'<'
+        nearest rule)."""
+        row = _row_vec(nodes_ref, n >> 3)
+        bx1, by1, bz1, bx2, by2, bz2 = _entry_scalars(
+            row, n & 7, range(6))
         t1 = (bx1 - ox) * inv_x
         t2 = (bx2 - ox) * inv_x
         t3 = (by1 - oy) * inv_y
@@ -79,28 +114,32 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         hit = ~((tmax < 0.0) | (tmin > tmax)) & (tmin < best_t)
         return jnp.any(hit)
 
+    n_groups = pl.cdiv(max_leaf, ENTRIES_PER_ROW) + 1
+
     def leaf_scan(n, best_idx, best_t):
-        frm = leaf_ref[0, n]
-        to = leaf_ref[1, n]
+        """Intersect the leaf's contiguous [from, to) range in groups of
+        8 tris: one dynamic-sublane row load per group, all lane offsets
+        static (e is the unrolled loop index)."""
+        lrow = _row_vec(leaf_ref, n >> 3)
+        frm, to = _entry_scalars(lrow, n & 7, (0, 1))
 
-        def tri_body(j, carry):
+        def group_body(g, carry):
             best_idx, best_t = carry
-            slot = frm + j
-
-            def do(carry):
-                best_idx, best_t = carry
-                # Clamp the LOAD index (the cond-free variant reads past
-                # `to` before masking); `ok` still uses the true slot.
-                s = jnp.minimum(slot, tri_ref.shape[1] - 1)
-                v0x = tri_ref[0, s]
-                v0y = tri_ref[1, s]
-                v0z = tri_ref[2, s]
-                e1x = tri_ref[3, s] - v0x
-                e1y = tri_ref[4, s] - v0y
-                e1z = tri_ref[5, s] - v0z
-                e2x = tri_ref[6, s] - v0x
-                e2y = tri_ref[7, s] - v0y
-                e2z = tri_ref[8, s] - v0z
+            row_i = (frm >> 3) + g
+            row_i = jnp.minimum(row_i, tri_ref.shape[0] - 1)
+            trow = _row_vec(tri_ref, row_i)
+            for e in range(ENTRIES_PER_ROW):
+                slot = (row_i << 3) + e
+                base = e * ENTRY_LANES
+                v0x = trow[0, base + 0]
+                v0y = trow[0, base + 1]
+                v0z = trow[0, base + 2]
+                e1x = trow[0, base + 3] - v0x
+                e1y = trow[0, base + 4] - v0y
+                e1z = trow[0, base + 5] - v0z
+                e2x = trow[0, base + 6] - v0x
+                e2y = trow[0, base + 7] - v0y
+                e2z = trow[0, base + 8] - v0z
                 # pvec = d x e2
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
@@ -117,17 +156,18 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                 qz = tx * e1y - ty * e1x
                 v = (dx * qx + dy * qy + dz * qz) * inv_det
                 t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                ok = ((jnp.abs(det) > 1e-7)
+                in_leaf = (slot >= frm) & (slot < to)
+                ok = (in_leaf
+                      & (jnp.abs(det) > 1e-7)
                       & (u >= 0.0) & (u <= 1.0)
                       & (v >= 0.0) & (u + v <= 1.0)
                       & (t >= 0.0) & (t < best_t))
-                return (jnp.where(ok, slot, best_idx),
-                        jnp.where(ok, t, best_t))
+                best_idx = jnp.where(ok, slot, best_idx)
+                best_t = jnp.where(ok, t, best_t)
+            return best_idx, best_t
 
-            return jax.lax.cond(slot < to, do, lambda c: c,
-                                (best_idx, best_t))
-
-        return jax.lax.fori_loop(0, max_leaf, tri_body, (best_idx, best_t))
+        return jax.lax.fori_loop(0, n_groups, group_body,
+                                 (best_idx, best_t))
 
     def cond(state):
         return ~state[0]
@@ -144,27 +184,14 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         at_leaf_parent = ndep == D - 1
 
         # Right child first, then left (BVH.cpp:81-87).
-        if use_cond:
-            best_idx, best_t = jax.lax.cond(
-                at_leaf_parent & r_over,
-                lambda c: leaf_scan(r_idx, *c), lambda c: c,
-                (best_idx, best_t))
-            best_idx, best_t = jax.lax.cond(
-                at_leaf_parent & l_over,
-                lambda c: leaf_scan(l_idx, *c), lambda c: c,
-                (best_idx, best_t))
-        else:
-            # Cond-free variant: scans run every iteration, results are
-            # masked in.  More VPU work per step but simpler control flow
-            # for Mosaic.
-            take_r = at_leaf_parent & r_over
-            bi, bt = leaf_scan(r_idx, best_idx, best_t)
-            best_idx = jnp.where(take_r, bi, best_idx)
-            best_t = jnp.where(take_r, bt, best_t)
-            take_l = at_leaf_parent & l_over
-            bi, bt = leaf_scan(l_idx, best_idx, best_t)
-            best_idx = jnp.where(take_l, bi, best_idx)
-            best_t = jnp.where(take_l, bt, best_t)
+        best_idx, best_t = jax.lax.cond(
+            at_leaf_parent & r_over,
+            lambda c: leaf_scan(r_idx, *c), lambda c: c,
+            (best_idx, best_t))
+        best_idx, best_t = jax.lax.cond(
+            at_leaf_parent & l_over,
+            lambda c: leaf_scan(l_idx, *c), lambda c: c,
+            (best_idx, best_t))
 
         trav_l = l_over & ~at_leaf_parent
         trav_r = r_over & ~at_leaf_parent
@@ -198,18 +225,16 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "max_leaf",
-                                             "interpret", "use_cond"))
+                                             "interpret"))
 def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
-                    max_leaf: int, interpret: bool = False,
-                    use_cond: bool = True):
-    """nodes: [8, NN'] f32 (bmin3, bmax3, pad2); leaf: [2, NN'] i32
-    (from, to); tris9: [9, T'] f32 in leaf order (component-major, see
-    pack_bvh_for_pallas); ray_o/ray_d: [N, 3].
-    Returns (idx [N] i32, t [N] f32)."""
+                    max_leaf: int, interpret: bool = False):
+    """nodes/leaf/tris9: packed tables from pack_bvh_for_pallas (8
+    entries per 128-lane row).  ray_o/ray_d: [N, 3] (unit directions).
+    Returns (idx [N] i32 — leaf-order tri index, -1 on miss; t [N] f32).
+    """
     N = ray_o.shape[0]
-    # Chunk tiles so the blocked ray arrays of one kernel launch stay well
-    # inside VMEM (XLA scope-allocates all of a launch's operands; 64+
-    # tiles of 6 ray components + 2 outputs blew the 16MB budget).
+    # Chunk tiles so one kernel launch's blocked operands stay well inside
+    # VMEM (XLA scope-allocates all of a launch's buffers).
     CHUNK = 8
     pad = (-N) % (TILE * CHUNK)
     if pad:
@@ -233,9 +258,9 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
     grid_spec = pl.GridSpec(
         grid=(CHUNK,),
         in_specs=[
-            # Whole tables with CONSTANT index maps: Mosaic then keeps ONE
-            # VMEM buffer across grid steps (an unblocked spec allocated a
-            # fresh copy per step -> scoped-VMEM OOM).
+            # Whole tables with CONSTANT index maps: one shared VMEM
+            # buffer across grid steps (unblocked specs get a fresh copy
+            # per step -> scoped-VMEM OOM).
             pl.BlockSpec(nodes_shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(leaf_shape, lambda i: (0, 0),
@@ -269,8 +294,7 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
 
         _kernel(nodes_ref, leaf_ref, tri_ref, *sq,
                 squeeze_out(idx_out), squeeze_out(t_out),
-                depth=depth, max_leaf=max_leaf, stack_smem=stack,
-                use_cond=use_cond)
+                depth=depth, max_leaf=max_leaf, stack_smem=stack)
 
     call = pl.pallas_call(
         kernel,
@@ -290,26 +314,38 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
 
 
 def pack_bvh_for_pallas(bvh: dict, tri_verts_sorted) -> tuple:
-    """Host-side packing, component-major so the LARGE axis is the VMEM
-    lane axis: nodes -> [8, NN'] f32 (bmin3, bmax3, pad2), leaves ->
-    [2, NN'] i32, tris -> [9, T'] f32; NN'/T' padded to lane multiples.
+    """Host-side packing: 8 entries of 16 lanes per 128-lane row.
 
-    (A [N, 8] layout pads the 8 to 128 lanes in VMEM — a 16x memory
-    blowup that OOM'd the 16MB scoped budget.)
+    nodes: f32 [ceil(NN/8), 128] — node n at row n>>3, lanes (n&7)*16+
+      (0..2 bmin, 3..5 bmax).
+    leaf:  i32, same geometry — lanes +0 from, +1 to.
+    tris:  f32 [ceil(T/8), 128] — tri t at row t>>3, lanes (t&7)*16+0..8
+      = the 9 vertex floats, leaf order.
+    64 bytes/entry, zero pad waste; dynamic indexing only on sublanes.
     """
     import numpy as np
 
-    def pad128(n):
-        return -(-max(n, 1) // 128) * 128
+    def rows(n):
+        return max(-(-n // ENTRIES_PER_ROW), 1)
 
     nn = bvh["node_bmin"].shape[0]
-    nodes = np.zeros((8, pad128(nn)), np.float32)
-    nodes[0:3, :nn] = bvh["node_bmin"].T
-    nodes[3:6, :nn] = bvh["node_bmax"].T
-    leaf = np.zeros((2, pad128(nn)), np.int32)
-    leaf[0, :nn] = bvh["node_from"]
-    leaf[1, :nn] = bvh["node_to"]
+    nodes = np.zeros((rows(nn), LANE), np.float32)
+    leaf = np.zeros((rows(nn), LANE), np.int32)
+    idx = np.arange(nn)
+    r = idx >> 3
+    base = (idx & 7) * ENTRY_LANES
+    for c in range(3):
+        nodes[r, base + c] = bvh["node_bmin"][:, c]
+        nodes[r, base + 3 + c] = bvh["node_bmax"][:, c]
+    leaf[r, base + 0] = bvh["node_from"]
+    leaf[r, base + 1] = bvh["node_to"]
+
     tv = np.asarray(tri_verts_sorted, np.float32).reshape(-1, 9)
-    tris9 = np.zeros((9, pad128(tv.shape[0])), np.float32)
-    tris9[:, :tv.shape[0]] = tv.T
-    return jnp.asarray(nodes), jnp.asarray(leaf), jnp.asarray(tris9)
+    T = tv.shape[0]
+    tris = np.zeros((rows(T), LANE), np.float32)
+    ti = np.arange(T)
+    tr = ti >> 3
+    tb = (ti & 7) * ENTRY_LANES
+    for c in range(9):
+        tris[tr, tb + c] = tv[:, c]
+    return jnp.asarray(nodes), jnp.asarray(leaf), jnp.asarray(tris)
