@@ -225,17 +225,20 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "max_leaf",
-                                             "interpret"))
+                                             "interpret", "chunk"))
 def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
-                    max_leaf: int, interpret: bool = False):
+                    max_leaf: int, interpret: bool = False,
+                    chunk: int = 512):
     """nodes/leaf/tris9: packed tables from pack_bvh_for_pallas (8
     entries per 128-lane row).  ray_o/ray_d: [N, 3] (unit directions).
     Returns (idx [N] i32 — leaf-order tri index, -1 on miss; t [N] f32).
+
+    ``chunk``: grid steps per kernel launch.  Large = few launches (each
+    launch carries real overhead); the blocked per-step buffers are tiny
+    (6x4KB double-buffered), so hundreds of steps fit VMEM comfortably.
     """
     N = ray_o.shape[0]
-    # Chunk tiles so one kernel launch's blocked operands stay well inside
-    # VMEM (XLA scope-allocates all of a launch's buffers).
-    CHUNK = 8
+    CHUNK = min(chunk, max(-(-N // TILE), 1))
     pad = (-N) % (TILE * CHUNK)
     if pad:
         ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3), ray_o.dtype)])

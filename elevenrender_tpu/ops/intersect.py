@@ -114,8 +114,22 @@ def full_hit(ray_o, ray_d, tri):
 
 
 def gather_tri(tris: dict, idx):
-    """Gather per-triangle SoA arrays at ``idx`` (any shape)."""
+    """Gather per-triangle attributes at ``idx`` (any shape).
+
+    When the IR carries a packed [T, 40] attribute matrix, ONE row gather
+    replaces six separate gathers (TPU gathers are near-serial per lane;
+    row gathers move 160 contiguous bytes per index)."""
     safe = jnp.clip(idx, 0, tris["verts"].shape[0] - 1)
+    if "packed" in tris:
+        row = tris["packed"][safe]                      # [..., 40]
+        return {
+            "verts": row[..., 0:9].reshape(row.shape[:-1] + (3, 3)),
+            "normals": row[..., 9:18].reshape(row.shape[:-1] + (3, 3)),
+            "uvs": row[..., 18:24].reshape(row.shape[:-1] + (3, 2)),
+            "tangents": row[..., 24:33].reshape(row.shape[:-1] + (3, 3)),
+            "sign": row[..., 33],
+            "mat": row[..., 34].astype(jnp.int32),
+        }
     return {
         "verts": tris["verts"][safe],
         "normals": tris["normals"][safe],
@@ -124,3 +138,18 @@ def gather_tri(tris: dict, idx):
         "sign": tris["sign"][safe],
         "mat": tris["mat"][safe],
     }
+
+
+def pack_tri_attributes(verts, normals, uvs, tangents, sign, mat):
+    """Build the [T, 40] packed attribute matrix (see gather_tri)."""
+    import numpy as np
+    T = verts.shape[0]
+    row = np.zeros((max(T, 1), 40), np.float32)
+    if T:
+        row[:, 0:9] = verts.reshape(T, 9)
+        row[:, 9:18] = normals.reshape(T, 9)
+        row[:, 18:24] = uvs.reshape(T, 6)
+        row[:, 24:33] = tangents.reshape(T, 9)
+        row[:, 33] = sign
+        row[:, 34] = mat.astype(np.float32)
+    return row

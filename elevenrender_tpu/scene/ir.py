@@ -99,8 +99,13 @@ def materials_to_ir(materials) -> dict:
 
 
 def build_ir(scene, config: RenderConfig | None = None,
-             bvh_depth: int | None = None) -> tuple[RenderConfig, dict]:
-    """Flatten a host Scene into (RenderConfig, device IR pytree)."""
+             bvh_depth: int | None = None,
+             packed_attrs: bool = False) -> tuple[RenderConfig, dict]:
+    """Flatten a host Scene into (RenderConfig, device IR pytree).
+
+    packed_attrs=True additionally stores a [T, 40] per-tri attribute
+    matrix so hit shading gathers one row instead of six arrays (a TPU
+    gather-throughput optimization; costs 160B/tri extra HBM)."""
     if config is None:
         config = RenderConfig()
 
@@ -137,16 +142,23 @@ def build_ir(scene, config: RenderConfig | None = None,
     from ..ops.bvh_pallas import pack_bvh_for_pallas
     nodes_p, leaf_p, tris9_p = pack_bvh_for_pallas(bvh, verts[perm])
 
+    tris_ir = {
+        "verts": jnp.asarray(verts[perm]),
+        "normals": jnp.asarray(normals[perm]),
+        "uvs": jnp.asarray(uvs[perm]),
+        "tangents": jnp.asarray(tangents[perm]),
+        "sign": jnp.asarray(signs[perm]),
+        "mat": jnp.asarray(mats[perm]),
+    }
+    if packed_attrs:
+        from ..ops.intersect import pack_tri_attributes
+        tris_ir["packed"] = jnp.asarray(pack_tri_attributes(
+            verts[perm], normals[perm], uvs[perm], tangents[perm],
+            signs[perm], mats[perm]))
+
     ir = {
         "bvh_packed": {"nodes": nodes_p, "leaf": leaf_p, "tris9": tris9_p},
-        "tris": {
-            "verts": jnp.asarray(verts[perm]),
-            "normals": jnp.asarray(normals[perm]),
-            "uvs": jnp.asarray(uvs[perm]),
-            "tangents": jnp.asarray(tangents[perm]),
-            "sign": jnp.asarray(signs[perm]),
-            "mat": jnp.asarray(mats[perm]),
-        },
+        "tris": tris_ir,
         "bvh": {
             "node_bmin": jnp.asarray(bvh["node_bmin"]),
             "node_bmax": jnp.asarray(bvh["node_bmax"]),

@@ -81,7 +81,8 @@ class Scene:
     def tri_count(self) -> int:
         return sum(m.tri_count for m in self.meshes)
 
-    def build(self, config=None, bvh_depth=None):
+    def build(self, config=None, bvh_depth=None, packed_attrs=False):
         """Flatten to (RenderConfig, device IR)."""
         from .ir import build_ir
-        return build_ir(self, config=config, bvh_depth=bvh_depth)
+        return build_ir(self, config=config, bvh_depth=bvh_depth,
+                        packed_attrs=packed_attrs)

@@ -33,6 +33,22 @@ def test_cornell_renders():
     assert abs(c[2]) > 0.7
 
 
+def test_packed_attr_gather_matches():
+    """The [T,40] packed attribute path renders identically."""
+    scene, config, ir = cornell_scene(res=16, spp=2)
+    config = config.replace(max_bounces=2)
+    r1 = Renderer(config, ir)
+    r1.step(2)
+
+    config2, ir2 = scene.build(packed_attrs=True)
+    config2 = config2.replace(sample_target=2, compat=True, max_bounces=2)
+    assert "packed" in ir2["tris"]
+    r2 = Renderer(config2, ir2)
+    r2.step(2)
+    np.testing.assert_allclose(r1.get_pass("beauty"), r2.get_pass("beauty"),
+                               rtol=1e-6)
+
+
 def test_brute_force_matches_bvh():
     scene, config, ir = cornell_scene(res=16, spp=2)
     config = config.replace(max_bounces=2)
