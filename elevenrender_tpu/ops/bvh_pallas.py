@@ -64,8 +64,14 @@ def _select_entry(vals, e):
     return out
 
 
-def _entry_scalars(row, e, lanes):
-    """Extract per-entry fields at static lane offsets; select by e."""
+def _entry_scalars(row, e, lanes, use_roll: bool = True):
+    """Extract per-entry fields: one dynamic lane-rotate brings entry e's
+    16 lanes to position 0, then static extracts.  (The select fallback
+    costs 8 extracts + a 7-way select PER FIELD — measured ~10x slower
+    per node visit.)"""
+    if use_roll:
+        shifted = jnp.roll(row, -e * ENTRY_LANES, axis=1)
+        return [shifted[0, c] for c in lanes]
     outs = []
     for c in lanes:
         cands = [row[0, k * ENTRY_LANES + c] for k in range(ENTRIES_PER_ROW)]
@@ -89,10 +95,12 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
     inv_z = 1.0 / dz
 
     def aabb_any(n, best_t):
-        """Slab test of the whole tile against node n's box; True if any
-        ray overlaps (BVH.cpp:27-61 semantics) AND could still find a
-        closer hit (tmin >= best_t prunes exactly under the strict-'<'
-        nearest rule)."""
+        """Slab test of the whole tile against node n's box.
+
+        Returns (any_hit, near): any ray overlaps (BVH.cpp:27-61
+        semantics) and could still improve (tmin >= best_t prunes exactly
+        under the strict-'<' nearest rule); ``near`` is the tile's min
+        entry distance, used for near-child-first ordering."""
         row = _row_vec(nodes_ref, n >> 3)
         bx1, by1, bz1, bx2, by2, bz2 = _entry_scalars(
             row, n & 7, range(6))
@@ -112,7 +120,8 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         tmin = mx(mx(mn(t1, t2), mn(t3, t4)), mn(t5, t6))
         tmax = mn(mn(mx(t1, t2), mx(t3, t4)), mx(t5, t6))
         hit = ~((tmax < 0.0) | (tmin > tmax)) & (tmin < best_t)
-        return jnp.any(hit)
+        near = jnp.min(jnp.where(hit, tmin, jnp.inf))
+        return jnp.any(hit), near
 
     n_groups = pl.cdiv(max_leaf, ENTRIES_PER_ROW) + 1
 
@@ -178,8 +187,8 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         l_idx = node + 1
         r_idx = node + shift
 
-        l_over = aabb_any(l_idx, best_t)
-        r_over = aabb_any(r_idx, best_t)
+        l_over, l_near = aabb_any(l_idx, best_t)
+        r_over, r_near = aabb_any(r_idx, best_t)
 
         at_leaf_parent = ndep == D - 1
 
@@ -198,9 +207,16 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         push = trav_l & trav_r
         pop = ~trav_l & ~trav_r
 
+        # Near child first when descending both: the near subtree tightens
+        # best_t so the far one (often) prunes away on pop.  Result is
+        # unchanged (strict-'<' nearest); only visit order/count differ.
+        l_first = l_near <= r_near
+        first_idx = jnp.where(l_first, l_idx, r_idx)
+        second_idx = jnp.where(l_first, r_idx, l_idx)
+
         @pl.when(push)
         def _():
-            stack_smem[sp, 0] = r_idx
+            stack_smem[sp, 0] = second_idx
             stack_smem[sp, 1] = ndep + 1
 
         sp_next = jnp.where(push, sp + 1, jnp.where(pop, sp - 1, sp))
@@ -208,8 +224,9 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         popped_node = stack_smem[sp_pop, 0]
         popped_dep = stack_smem[sp_pop, 1]
 
-        node = jnp.where(trav_l, l_idx,
-                         jnp.where(trav_r, r_idx, popped_node))
+        node = jnp.where(push, first_idx,
+                         jnp.where(trav_l, l_idx,
+                                   jnp.where(trav_r, r_idx, popped_node)))
         ndep = jnp.where(pop, popped_dep, ndep + 1)
         done = pop & (popped_node < 0)
         return done, node, ndep, sp_next, best_idx, best_t
