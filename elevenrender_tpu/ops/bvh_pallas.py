@@ -68,9 +68,12 @@ def _entry_scalars(row, e, lanes, use_roll: bool = True):
     """Extract per-entry fields: one dynamic lane-rotate brings entry e's
     16 lanes to position 0, then static extracts.  (The select fallback
     costs 8 extracts + a 7-way select PER FIELD — measured ~10x slower
-    per node visit.)"""
+    per node visit.)  Uses pltpu.roll: Mosaic lowers it to a native
+    dynamic lane rotate, whereas jnp.roll with a traced shift becomes
+    concat+dynamic_slice, which Mosaic cannot lower on the lane dim."""
     if use_roll:
-        shifted = jnp.roll(row, -e * ENTRY_LANES, axis=1)
+        shift = (LANE - e * ENTRY_LANES) % LANE  # left-rotate by e*16
+        shifted = pltpu.roll(row, shift, 1)
         return [shifted[0, c] for c in lanes]
     outs = []
     for c in lanes:
