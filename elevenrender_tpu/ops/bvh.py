@@ -48,10 +48,16 @@ def _bounds_area(bmin, bmax):
 
 
 def default_depth(tri_count: int) -> int:
-    """Adaptive depth targeting ~4 tris/leaf, clamped to [1, MAX_DEPTH]."""
+    """Adaptive depth targeting ~32 tris/leaf, clamped to [1, MAX_DEPTH].
+
+    Leaf scans in the packet kernel are fully vectorized over the ray
+    tile while interior steps are scalar-serial, so fat leaves win: a
+    depth sweep on the 66k-tri bench scene measured the minimum at
+    ~32 tris/leaf (2.2x faster than the 4 tris/leaf a CPU tracer
+    would pick)."""
     if tri_count <= 4:
         return 1
-    return int(np.clip(np.ceil(np.log2(tri_count / 4.0)), 1, MAX_DEPTH))
+    return int(np.clip(np.ceil(np.log2(tri_count / 32.0)), 1, MAX_DEPTH))
 
 
 def preorder_indices(depth: int) -> list[np.ndarray]:

@@ -97,16 +97,14 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
     inv_y = 1.0 / dy
     inv_z = 1.0 / dz
 
-    def aabb_any(n, best_t):
-        """Slab test of the whole tile against node n's box.
+    def aabb_any(box, best_t):
+        """Slab test of the whole tile against one box (6 scalars).
 
         Returns (any_hit, near): any ray overlaps (BVH.cpp:27-61
         semantics) and could still improve (tmin >= best_t prunes exactly
         under the strict-'<' nearest rule); ``near`` is the tile's min
         entry distance, used for near-child-first ordering."""
-        row = _row_vec(nodes_ref, n >> 3)
-        bx1, by1, bz1, bx2, by2, bz2 = _entry_scalars(
-            row, n & 7, range(6))
+        bx1, by1, bz1, bx2, by2, bz2 = box
         t1 = (bx1 - ox) * inv_x
         t2 = (bx2 - ox) * inv_x
         t3 = (by1 - oy) * inv_y
@@ -126,14 +124,14 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         near = jnp.min(jnp.where(hit, tmin, jnp.inf))
         return jnp.any(hit), near
 
-    n_groups = pl.cdiv(max_leaf, ENTRIES_PER_ROW) + 1
-
-    def leaf_scan(n, best_idx, best_t):
-        """Intersect the leaf's contiguous [from, to) range in groups of
+    def leaf_scan(frm, to, best_idx, best_t):
+        """Intersect the leaf's contiguous [frm, to) range in groups of
         8 tris: one dynamic-sublane row load per group, all lane offsets
-        static (e is the unrolled loop index)."""
-        lrow = _row_vec(leaf_ref, n >> 3)
-        frm, to = _entry_scalars(lrow, n & 7, (0, 1))
+        static (e is the unrolled loop index).  Trip count is the leaf's
+        ACTUAL row span, not the global max (leaves are skewed; paying
+        max_leaf everywhere measured ~2-4x extra leaf work)."""
+        n_groups = jnp.where(to > frm,
+                             ((to - 1) >> 3) - (frm >> 3) + 1, 0)
 
         def group_body(g, carry):
             best_idx, best_t = carry
@@ -143,15 +141,16 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             for e in range(ENTRIES_PER_ROW):
                 slot = (row_i << 3) + e
                 base = e * ENTRY_LANES
+                # Lanes are (v0, e1, e2) — edges precomputed at pack time.
                 v0x = trow[0, base + 0]
                 v0y = trow[0, base + 1]
                 v0z = trow[0, base + 2]
-                e1x = trow[0, base + 3] - v0x
-                e1y = trow[0, base + 4] - v0y
-                e1z = trow[0, base + 5] - v0z
-                e2x = trow[0, base + 6] - v0x
-                e2y = trow[0, base + 7] - v0y
-                e2z = trow[0, base + 8] - v0z
+                e1x = trow[0, base + 3]
+                e1y = trow[0, base + 4]
+                e1z = trow[0, base + 5]
+                e2x = trow[0, base + 6]
+                e2y = trow[0, base + 7]
+                e2z = trow[0, base + 8]
                 # pvec = d x e2
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
@@ -190,19 +189,29 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         l_idx = node + 1
         r_idx = node + shift
 
-        l_over, l_near = aabb_any(l_idx, best_t)
-        r_over, r_near = aabb_any(r_idx, best_t)
+        # ONE row fetch + ONE dynamic rotate yields BOTH children's boxes
+        # (parent-indexed packing: 12 floats/entry).
+        row = _row_vec(nodes_ref, node >> 3)
+        f = _entry_scalars(row, node & 7, range(12))
+        l_over, l_near = aabb_any(f[0:6], best_t)
+        r_over, r_near = aabb_any(f[6:12], best_t)
 
         at_leaf_parent = ndep == D - 1
 
-        # Right child first, then left (BVH.cpp:81-87).
+        def do_leaves(c):
+            # Leaf from/to for both children in one fetch (parent-indexed
+            # leaf table) — off the interior hot path entirely.
+            lrow = _row_vec(leaf_ref, node >> 3)
+            lf, lt, rf, rt = _entry_scalars(lrow, node & 7, range(4))
+            # Right child first, then left (BVH.cpp:81-87).
+            c = jax.lax.cond(r_over, lambda c: leaf_scan(rf, rt, *c),
+                             lambda c: c, c)
+            c = jax.lax.cond(l_over, lambda c: leaf_scan(lf, lt, *c),
+                             lambda c: c, c)
+            return c
+
         best_idx, best_t = jax.lax.cond(
-            at_leaf_parent & r_over,
-            lambda c: leaf_scan(r_idx, *c), lambda c: c,
-            (best_idx, best_t))
-        best_idx, best_t = jax.lax.cond(
-            at_leaf_parent & l_over,
-            lambda c: leaf_scan(l_idx, *c), lambda c: c,
+            at_leaf_parent & (l_over | r_over), do_leaves, lambda c: c,
             (best_idx, best_t))
 
         trav_l = l_over & ~at_leaf_parent
@@ -337,33 +346,50 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
 
 
 def pack_bvh_for_pallas(bvh: dict, tri_verts_sorted) -> tuple:
-    """Host-side packing: 8 entries of 16 lanes per 128-lane row.
+    """Host-side packing: 8 entries of 16 lanes per 128-lane row,
+    PARENT-indexed — entry p holds BOTH children of interior node p, so
+    each traversal step is one row fetch + one dynamic rotate.
 
-    nodes: f32 [ceil(NN/8), 128] — node n at row n>>3, lanes (n&7)*16+
-      (0..2 bmin, 3..5 bmax).
-    leaf:  i32, same geometry — lanes +0 from, +1 to.
+    nodes: f32 [ceil(NN/8), 128] — parent p at row p>>3, lanes (p&7)*16+
+      (0..2 left bmin, 3..5 left bmax, 6..8 right bmin, 9..11 right bmax).
+    leaf:  i32, same geometry — lanes +0/+1 left child from/to, +2/+3
+      right child from/to (only meaningful at leaf-parent depth).
     tris:  f32 [ceil(T/8), 128] — tri t at row t>>3, lanes (t&7)*16+0..8
-      = the 9 vertex floats, leaf order.
+      = (v0, e1, e2) with edges precomputed, leaf order.
     64 bytes/entry, zero pad waste; dynamic indexing only on sublanes.
     """
     import numpy as np
+    from .bvh import preorder_indices
 
     def rows(n):
         return max(-(-n // ENTRIES_PER_ROW), 1)
 
     nn = bvh["node_bmin"].shape[0]
+    D = bvh["depth"]
     nodes = np.zeros((rows(nn), LANE), np.float32)
     leaf = np.zeros((rows(nn), LANE), np.int32)
-    idx = np.arange(nn)
-    r = idx >> 3
-    base = (idx & 7) * ENTRY_LANES
-    for c in range(3):
-        nodes[r, base + c] = bvh["node_bmin"][:, c]
-        nodes[r, base + 3 + c] = bvh["node_bmax"][:, c]
-    leaf[r, base + 0] = bvh["node_from"]
-    leaf[r, base + 1] = bvh["node_to"]
+    pre = preorder_indices(D)
+    for d in range(D):
+        p = pre[d]
+        l = p + 1
+        r = p + (1 << (D - d))
+        pr = p >> 3
+        pb = (p & 7) * ENTRY_LANES
+        for c in range(3):
+            nodes[pr, pb + c] = bvh["node_bmin"][l, c]
+            nodes[pr, pb + 3 + c] = bvh["node_bmax"][l, c]
+            nodes[pr, pb + 6 + c] = bvh["node_bmin"][r, c]
+            nodes[pr, pb + 9 + c] = bvh["node_bmax"][r, c]
+        if d == D - 1:
+            leaf[pr, pb + 0] = bvh["node_from"][l]
+            leaf[pr, pb + 1] = bvh["node_to"][l]
+            leaf[pr, pb + 2] = bvh["node_from"][r]
+            leaf[pr, pb + 3] = bvh["node_to"][r]
 
     tv = np.asarray(tri_verts_sorted, np.float32).reshape(-1, 9)
+    tv = tv.copy()
+    tv[:, 3:6] -= tv[:, 0:3]  # e1 = v1 - v0
+    tv[:, 6:9] -= tv[:, 0:3]  # e2 = v2 - v0
     T = tv.shape[0]
     tris = np.zeros((rows(T), LANE), np.float32)
     ti = np.arange(T)
