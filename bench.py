@@ -34,6 +34,12 @@ def main():
     grid = int(os.environ.get("BENCH_GRID", "182"))  # ~65k tris
 
     import jax
+    # Persistent compile cache: the integrator at 1024x1024/65k tris takes
+    # ~2min to compile on the tunneled TPU; cached reruns skip it.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from scenes import heightfield_scene
     from elevenrender_tpu.render.integrator import init_state, render_sample_jit

@@ -43,10 +43,17 @@ def morton_key(origin, direction, bounds_min, bounds_max):
     return (code << jnp.uint32(3)) | octant
 
 
-def sort_for_packets(origin, direction, bounds_min, bounds_max):
+def sort_for_packets(origin, direction, bounds_min, bounds_max, mask=None):
     """Returns (order, inverse) permutations: ``origin[order]`` is
-    packet-coherent; scatter results back with ``result[inverse]``."""
+    packet-coherent; scatter results back with ``result[inverse]``.
+
+    ``mask``: lanes that actually need tracing.  Dead lanes get the max
+    key so they pack into the TAIL tiles — combined with the instant-miss
+    ray substitution in the integrator's _trace, those tiles terminate at
+    the root, so dead rays cost ~nothing instead of a full walk."""
     key = morton_key(origin, direction, bounds_min, bounds_max)
+    if mask is not None:
+        key = jnp.where(mask, key, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key)
     inverse = jnp.argsort(order)
     return order, inverse

@@ -61,13 +61,18 @@ def init_state(config) -> dict:
     }
 
 
-def _trace(config, ir, ray_o, ray_d):
+def _trace(config, ir, ray_o, ray_d, mask=None):
     """Nearest-hit query (throwRay, kernel.cpp:218-240).
 
     Mode selection is static (baked into the jitted program): tiny scenes
     brute-force (vectorized intersect-all beats any traversal overhead),
     everything else uses packet traversal — per-ray stack walks gather per
     lane, which TPUs execute near-serially.
+
+    ``mask``: lanes that need a result.  Dead lanes are replaced with a
+    ray that misses the root AABB on step one and (when sorting) packed
+    into the tail tiles, so they cost ~nothing; their (idx, t) come back
+    as (-1, inf), which every caller already masks out.
     """
     tris = ir["tris"]["verts"]
     mode = config.trace_mode
@@ -85,11 +90,21 @@ def _trace(config, ir, ray_o, ray_d):
     if mode == "brute":
         return bvh_ops.brute_force(tris, ray_o, ray_d)
 
+    if mask is not None:
+        # Instant-miss substitute: origin far above the root AABB looking
+        # away, so the root slab test fails and the lane idles (or, in a
+        # fully-dead sorted tile, the whole tile terminates at the root).
+        far = ir["bvh"]["node_bmax"][0] + 1e7
+        ray_o = where3(mask, ray_o, far)
+        ray_d = where3(mask, ray_d,
+                       jnp.asarray([0.0, 0.0, 1.0], ray_d.dtype))
+
     if mode in ("pallas", "packet") and config.sort_rays:
         # Packet coherence: tiles must be spatially compact (ops/sort.py).
         from ..ops.sort import sort_for_packets
         order, inverse = sort_for_packets(
-            ray_o, ray_d, ir["bvh"]["node_bmin"][0], ir["bvh"]["node_bmax"][0])
+            ray_o, ray_d, ir["bvh"]["node_bmin"][0], ir["bvh"]["node_bmax"][0],
+            mask=mask)
         ray_o = ray_o[order]
         ray_d = ray_d[order]
     else:
@@ -177,28 +192,6 @@ def _generate_hitdata(config, ir, hit, ray_d):
     return hd
 
 
-def _point_light_nee(config, ir, hd, wo, state_rng, shade):
-    """Native-mode point-light NEE (the reference's is dead code,
-    kernel.cpp:269-301).  Uniformly picks one light; the 1/N choice pdf
-    cancels against the N multiplier.  Delta lights carry no MIS."""
-    state_rng, r_l = rng_mod.next_float_masked(state_rng, shade)
-    n_l = config.n_lights
-    li = jnp.clip((r_l * n_l).astype(jnp.int32), 0, n_l - 1)
-    lpos = ir["lights"]["pos"][li]
-    lrad = ir["lights"]["rad"][li]
-    to_light = lpos - hd["position"]
-    dist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 1e-12))
-    wi = to_light / dist[..., None]
-    s_o = hd["position"] + wi * 1e-3
-    s_idx, s_t = _trace(config, ir, s_o, wi)
-    occluded = (s_idx >= 0) & (s_t < dist - 1e-3)
-    f = disney_eval(hd, wo, hd["normal"], wi)
-    contrib = (lrad / (dist * dist)[..., None]) * f * \
-        jnp.abs(dot(wi, hd["normal"]))[..., None] * float(n_l)
-    contrib = where3(shade & ~occluded, contrib, jnp.zeros_like(contrib))
-    return state_rng, contrib
-
-
 def render_sample(config, ir, state, pixel_offset=0) -> dict:
     """Advance the accumulators by ONE progressive sample for every pixel
     in ``state`` (the full image, or a shard of it).
@@ -244,7 +237,7 @@ def render_sample(config, ir, state, pixel_offset=0) -> dict:
         (rng, ray_o, ray_d, light, reduction, alive,
          aov_normal, aov_tangent, aov_bitangent,
          prev_brdf_pdf, had_bounce) = carry
-        hit_idx, hit_t = _trace(config, ir, ray_o, ray_d)
+        hit_idx, hit_t = _trace(config, ir, ray_o, ray_d, mask=alive)
 
         miss = alive & (hit_idx < 0)
         env_val = hdri_ops.env_radiance(env, ray_d)
@@ -289,9 +282,35 @@ def render_sample(config, ir, state, pixel_offset=0) -> dict:
             nu = (sx.astype(jnp.float32) + 0.5) / jnp.float32(W)
             nv = (sy.astype(jnp.float32) + 0.5) / jnp.float32(H)
         wihdri = -normalize(reverse_spherical_mapping(nu, nv))
-
         shadow_o = hd["position"] + n * 1e-3
-        s_idx, _ = _trace(config, ir, shadow_o, wihdri)
+
+        # --- BRDF direction draws happen BEFORE the shadow launch so the
+        # light-pick draw below keeps its stream position; the combined
+        # shadow trace then batches HDRI + point-light rays in ONE launch.
+        wibrdf = disney_sample(hd, wo, n, rs1, rs2, rs3)
+        if not config.compat:
+            wibrdf = jax.lax.stop_gradient(wibrdf)
+
+        merge_lights = (not config.compat) and config.n_lights > 0
+        if merge_lights:
+            rng, r_l = rng_mod.next_float_masked(rng, shade)
+            n_l = config.n_lights
+            li = jnp.clip((r_l * n_l).astype(jnp.int32), 0, n_l - 1)
+            lpos = ir["lights"]["pos"][li]
+            lrad = ir["lights"]["rad"][li]
+            to_light = lpos - hd["position"]
+            ldist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 1e-12))
+            wi_l = to_light / ldist[..., None]
+            both_idx, both_t = _trace(
+                config, ir,
+                jnp.concatenate([shadow_o, hd["position"] + wi_l * 1e-3], 0),
+                jnp.concatenate([wihdri, wi_l], 0),
+                mask=jnp.concatenate([shade, shade], 0))
+            s_idx = both_idx[:npix]
+            l_occluded = (both_idx[npix:] >= 0) & \
+                (both_t[npix:] < ldist - 1e-3)
+        else:
+            s_idx, _ = _trace(config, ir, shadow_o, wihdri, mask=shade)
         occluded = (s_idx >= 0) & (s_idx != hit_idx)
         hdri_val = hdri_ops.env_fetch_uv(env, nu, nv)
         hdri_val = where3(occluded, jnp.zeros_like(hdri_val), hdri_val)
@@ -310,17 +329,20 @@ def render_sample(config, ir, state, pixel_offset=0) -> dict:
                         / jnp.maximum(hdri_pdf, 1e-12)[..., None]
                         * (hdri_pdf > 0)[..., None] * hw[..., None])
 
-        # --- BRDF sampling ----------------------------------------------
-        wibrdf = disney_sample(hd, wo, n, rs1, rs2, rs3)
-        if not config.compat:
-            wibrdf = jax.lax.stop_gradient(wibrdf)
+        # --- BRDF sampling (directions drawn above) ----------------------
         brdf_pdf = disney_pdf(hd, wo, n, wibrdf)
         f_brdf = disney_eval(hd, wo, n, wibrdf)
 
         contrib = hd["emission"] + hdri_int
-        if not config.compat and config.n_lights > 0:
-            rng, pl = _point_light_nee(config, ir, hd, wo, rng, shade)
-            contrib = contrib + pl
+        if merge_lights:
+            # Point-light NEE (the reference's is dead code,
+            # kernel.cpp:269-301).  Uniform 1/N pick cancels the N
+            # multiplier; delta lights carry no MIS.
+            f_l = disney_eval(hd, wo, n, wi_l)
+            pl_c = (lrad / (ldist * ldist)[..., None]) * f_l * \
+                jnp.abs(dot(wi_l, n))[..., None] * float(config.n_lights)
+            contrib = contrib + where3(shade & ~l_occluded, pl_c,
+                                       jnp.zeros_like(pl_c))
         light = light + where3(shade, reduction * contrib,
                                jnp.zeros_like(light))
         throughput = f_brdf * jnp.abs(dot(wibrdf, n))[..., None] / \
