@@ -78,11 +78,6 @@ def smith_g_ggx_aniso(n_dot_v, v_dot_x, v_dot_y, ax, ay):
     return 1.0 / (n_dot_v + jnp.sqrt(a * a + b * b + c * c))
 
 
-def power_heuristic(a, b):
-    t = a * a
-    return t / (b * b + t)
-
-
 def _aniso_alphas(roughness, anisotropic):
     aspect = jnp.sqrt(1.0 - anisotropic * 0.9)
     ax = jnp.maximum(0.001, roughness / aspect)

@@ -54,11 +54,15 @@ def init_state(config) -> dict:
     passes = jnp.zeros((PASSES_COUNT, npix, 4), jnp.float32)
     passes = passes.at[:, :, 3].set(1.0)
     samples0 = 1 if config.compat else 0
-    return {
+    state = {
         "passes": passes,
         "samples": jnp.full((npix,), samples0, jnp.uint32),
         "rng": rng_mod.init_state(jnp.arange(npix, dtype=jnp.uint32)),
     }
+    if config.count_rays:
+        state["ray_count"] = jnp.zeros((), jnp.float64 if jax.config.x64_enabled
+                                       else jnp.float32)
+    return state
 
 
 def _trace(config, ir, ray_o, ray_d, mask=None):
@@ -85,10 +89,16 @@ def _trace(config, ir, ray_o, ray_d, mask=None):
             mode = "per_ray"  # CPU gathers are fine; Pallas would interpret
         elif tris.shape[0] <= 120_000:  # VMEM-resident limit (~8MB tris)
             mode = "pallas"
+        elif config.bvh_depth <= 15:  # node tables 2^(D+8) B <= 8MB VMEM
+            mode = "pallas_stream"  # tris DMA-streamed from HBM
         else:
             mode = "packet"
     if mode == "brute":
-        return bvh_ops.brute_force(tris, ray_o, ray_d)
+        idx, t = bvh_ops.brute_force(tris, ray_o, ray_d)
+        if mask is not None:
+            idx = jnp.where(mask, idx, -1)
+            t = jnp.where(mask, t, jnp.inf)
+        return idx, t
 
     if mask is not None:
         # Instant-miss substitute: origin far above the root AABB looking
@@ -99,7 +109,7 @@ def _trace(config, ir, ray_o, ray_d, mask=None):
         ray_d = where3(mask, ray_d,
                        jnp.asarray([0.0, 0.0, 1.0], ray_d.dtype))
 
-    if mode in ("pallas", "packet") and config.sort_rays:
+    if mode in ("pallas", "pallas_stream", "packet") and config.sort_rays:
         # Packet coherence: tiles must be spatially compact (ops/sort.py).
         from ..ops.sort import sort_for_packets
         order, inverse = sort_for_packets(
@@ -110,13 +120,14 @@ def _trace(config, ir, ray_o, ray_d, mask=None):
     else:
         order = inverse = None
 
-    if mode == "pallas":
+    if mode in ("pallas", "pallas_stream"):
         from ..ops.bvh_pallas import traverse_pallas
         bp = ir["bvh_packed"]
         idx, t = traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
                                  ray_o, ray_d, depth=config.bvh_depth,
                                  max_leaf=config.bvh_max_leaf,
-                                 interpret=jax.default_backend() == "cpu")
+                                 interpret=jax.default_backend() == "cpu",
+                                 stream=mode == "pallas_stream")
     elif mode == "packet":
         idx, t = bvh_ops.traverse_packet(ir["bvh"], tris, ray_o, ray_d,
                                          depth=config.bvh_depth,
@@ -134,21 +145,35 @@ def _trace(config, ir, ray_o, ray_d, mask=None):
 
 def _generate_hitdata(config, ir, hit, ray_d):
     """generateHitData (kernel.cpp:76-172): texture-or-constant fetch per
-    channel, tangent-space normal mapping, the ^2.2 quirk."""
+    channel, tangent-space normal mapping, the ^2.2 quirk.
+
+    Map slots no material binds are STATICALLY skipped
+    (config.tex_slots_used, computed at scene build), so an untextured
+    scene compiles to zero atlas gathers; a uniform-filter atlas
+    (config.tex_uniform_filter) compiles sample_filtered down to one
+    sampler.  The reference branches per pixel instead
+    (kernel.cpp:88-133)."""
     mats = ir["materials"]
     atlas = ir["atlas"]
     m = hit["mat"]
     tex = mats["tex"][m]  # [..., 7] slot order: see MAP_SLOT_ORDER
     tu, tv = hit["tu"], hit["tv"]
+    used = config.tex_slots_used
 
     def tex_rgb(slot, fallback_rgb):
+        if not used[slot]:
+            return fallback_rgb
         tid = tex[..., slot]
-        val = sample_filtered(atlas, jnp.maximum(tid, 0), tu, tv)
+        val = sample_filtered(atlas, jnp.maximum(tid, 0), tu, tv,
+                              uniform_filter=config.tex_uniform_filter)
         return where3(tid >= 0, val, fallback_rgb)
 
     def tex_x(slot, fallback):
+        if not used[slot]:
+            return fallback
         tid = tex[..., slot]
-        val = sample_filtered(atlas, jnp.maximum(tid, 0), tu, tv)[..., 0]
+        val = sample_filtered(atlas, jnp.maximum(tid, 0), tu, tv,
+                              uniform_filter=config.tex_uniform_filter)[..., 0]
         return jnp.where(tid >= 0, val, fallback)
 
     hd = {}
@@ -160,13 +185,16 @@ def _generate_hitdata(config, ir, hit, ray_d):
     hd["transmission"] = tex_x(6, mats["transmission"][m])
 
     # Normal mapping (kernel.cpp:135-149): nearest fetch, y flipped.
-    ntid = tex[..., 4]
-    ncolor = sample_nearest(atlas, jnp.maximum(ntid, 0), tu, tv)
-    local_n = ncolor * 2.0 - 1.0
-    world_n = normalize(local_n[..., 0:1] * hit["tangent"]
-                        - local_n[..., 1:2] * hit["bitangent"]
-                        + local_n[..., 2:3] * hit["normal"])
-    hd["normal"] = where3(ntid >= 0, world_n, hit["normal"])
+    if used[4]:
+        ntid = tex[..., 4]
+        ncolor = sample_nearest(atlas, jnp.maximum(ntid, 0), tu, tv)
+        local_n = ncolor * 2.0 - 1.0
+        world_n = normalize(local_n[..., 0:1] * hit["tangent"]
+                            - local_n[..., 1:2] * hit["bitangent"]
+                            + local_n[..., 2:3] * hit["normal"])
+        hd["normal"] = where3(ntid >= 0, world_n, hit["normal"])
+    else:
+        hd["normal"] = hit["normal"]
 
     # Reference gamma quirk (kernel.cpp:151-153).
     hd["roughness"] = jnp.power(hd["roughness"], 2.2)
@@ -184,11 +212,13 @@ def _generate_hitdata(config, ir, hit, ray_d):
     hd["bitangent"] = hit["bitangent"]
     hd["position"] = hit["position"]
 
-    # ASL-analog programmable albedo (kernel.cpp:530-536).
-    shader_id = mats["shader"][m]
-    hd["albedo"] = shader_registry.apply_shaders(
-        shader_id, hd["albedo"], hit["position"], ray_d, hd["normal"],
-        hit["gnormal"], tu, tv)
+    # ASL-analog programmable albedo (kernel.cpp:530-536); statically
+    # elided when no material carries a shader id.
+    if config.use_shaders:
+        shader_id = mats["shader"][m]
+        hd["albedo"] = shader_registry.apply_shaders(
+            shader_id, hd["albedo"], hit["position"], ray_d, hd["normal"],
+            hit["gnormal"], tu, tv)
     return hd
 
 
@@ -226,17 +256,24 @@ def render_sample(config, ir, state, pixel_offset=0) -> dict:
     aov_normal = jnp.zeros((npix, 3), jnp.float32)
     aov_tangent = jnp.zeros((npix, 3), jnp.float32)
     aov_bitangent = jnp.zeros((npix, 3), jnp.float32)
+    # First-hit albedo, accumulated into the DENOISE slot as a denoiser
+    # guide (the reference never writes that buffer, kernel.cpp:602-644;
+    # get_pass("denoise") returns denoised beauty either way).
+    aov_albedo = jnp.zeros((npix, 3), jnp.float32)
     alive = jnp.ones((npix,), bool)
     env = ir["env"]
     H, W, _ = env["img"].shape
     # Native MIS: brdf pdf of the previous bounce's sampled direction.
     prev_brdf_pdf = jnp.zeros((npix,), jnp.float32)
     had_bounce = jnp.zeros((npix,), bool)
+    rays = jnp.zeros((), jnp.float32)
 
     def bounce_body(bounce, carry):
         (rng, ray_o, ray_d, light, reduction, alive,
-         aov_normal, aov_tangent, aov_bitangent,
-         prev_brdf_pdf, had_bounce) = carry
+         aov_normal, aov_tangent, aov_bitangent, aov_albedo,
+         prev_brdf_pdf, had_bounce, rays) = carry
+        if config.count_rays:
+            rays = rays + jnp.sum(alive.astype(jnp.float32))
         hit_idx, hit_t = _trace(config, ir, ray_o, ray_d, mask=alive)
 
         miss = alive & (hit_idx < 0)
@@ -244,11 +281,11 @@ def render_sample(config, ir, state, pixel_offset=0) -> dict:
         if config.compat:
             env_w = jnp.ones((npix,), jnp.float32)
         else:
-            # Balance-heuristic weight for the BRDF-sampled env hit.
+            # Balance-heuristic weight for the BRDF-sampled env hit,
+            # against the jittered env sampler's exact density at this
+            # continuous direction.
             u, v = spherical_mapping(-ray_d)
-            ex = jnp.trunc(u * W).astype(jnp.int32) % W
-            ey = jnp.trunc(v * H).astype(jnp.int32) % H
-            hpdf = hdri_ops.env_pdf(env, ex, ey, center=True)
+            hpdf = hdri_ops.env_pdf_uv(env, u, v)
             bw = hdri_ops.balance_heuristic(prev_brdf_pdf, hpdf)
             env_w = jnp.where(had_bounce, bw, 1.0)
         light = light + where3(miss, reduction * env_val * env_w[..., None],
@@ -278,15 +315,21 @@ def render_sample(config, ir, state, pixel_offset=0) -> dict:
             nv = sy.astype(jnp.float32) / jnp.float32(H)
         else:
             sx, sy = hdri_ops.sample_env_exact(env, r_hdri)
-            # Texel centers: finite pdf at the poles, same texel on fetch.
-            nu = (sx.astype(jnp.float32) + 0.5) / jnp.float32(W)
-            nv = (sy.astype(jnp.float32) + 0.5) / jnp.float32(H)
+            # Uniform jitter WITHIN the chosen texel: the sampler's true
+            # density is then piecewise-constant over (u, v) and
+            # env_pdf_uv is exactly it.  Without the jitter a coarse env
+            # (the 1x1 default, HDRI.cpp:18) pins every NEE ray to one
+            # direction and the render acquires a directional bias.
+            rng, ju = rng_mod.next_float_masked(rng, shade)
+            rng, jv = rng_mod.next_float_masked(rng, shade)
+            nu = (sx.astype(jnp.float32) + ju) / jnp.float32(W)
+            nv = (sy.astype(jnp.float32) + jv) / jnp.float32(H)
         wihdri = -normalize(reverse_spherical_mapping(nu, nv))
         shadow_o = hd["position"] + n * 1e-3
 
-        # --- BRDF direction draws happen BEFORE the shadow launch so the
-        # light-pick draw below keeps its stream position; the combined
-        # shadow trace then batches HDRI + point-light rays in ONE launch.
+        # --- BRDF directions are drawn here (stream-neutral: rs1-rs3 were
+        # consumed above) so wi_l exists in time for the point-light ray to
+        # join the HDRI shadow ray in ONE combined trace launch below.
         wibrdf = disney_sample(hd, wo, n, rs1, rs2, rs3)
         if not config.compat:
             wibrdf = jax.lax.stop_gradient(wibrdf)
@@ -322,7 +365,7 @@ def render_sample(config, ir, state, pixel_offset=0) -> dict:
             hdri_int = hdri_val * f_nee * jnp.abs(dot(wihdri, n))[..., None] / \
                 hdri_pdf[..., None]
         else:
-            hdri_pdf = hdri_ops.env_pdf(env, sx, sy, center=True)
+            hdri_pdf = hdri_ops.env_pdf_uv(env, nu, nv)
             nee_brdf_pdf = disney_pdf(hd, wo, n, wihdri)
             hw = hdri_ops.balance_heuristic(hdri_pdf, nee_brdf_pdf)
             hdri_int = (hdri_val * f_nee * jnp.abs(dot(wihdri, n))[..., None]
@@ -356,6 +399,7 @@ def render_sample(config, ir, state, pixel_offset=0) -> dict:
         aov_normal = where3(first, n, aov_normal)
         aov_tangent = where3(first, hd["tangent"], aov_tangent)
         aov_bitangent = where3(first, hd["bitangent"], aov_bitangent)
+        aov_albedo = where3(first, hd["albedo"], aov_albedo)
 
         # --- next ray (kernel.cpp:587-592) ------------------------------
         next_o = where3(shade, hit["position"] + wibrdf * 1e-3,
@@ -365,16 +409,20 @@ def render_sample(config, ir, state, pixel_offset=0) -> dict:
         ray_d = where3(alive, next_d, ray_d)
         prev_brdf_pdf = jnp.where(shade, brdf_pdf, prev_brdf_pdf)
         had_bounce = had_bounce | shade
+        if config.count_rays:
+            # Shadow segments actually launched for shading lanes.
+            n_shadow = 2.0 if merge_lights else 1.0
+            rays = rays + n_shadow * jnp.sum(shade.astype(jnp.float32))
         return (rng, ray_o, ray_d, light, reduction, alive,
-                aov_normal, aov_tangent, aov_bitangent,
-                prev_brdf_pdf, had_bounce)
+                aov_normal, aov_tangent, aov_bitangent, aov_albedo,
+                prev_brdf_pdf, had_bounce, rays)
 
     carry = (rng, ray_o, ray_d, light, reduction, alive,
-             aov_normal, aov_tangent, aov_bitangent,
-             prev_brdf_pdf, had_bounce)
+             aov_normal, aov_tangent, aov_bitangent, aov_albedo,
+             prev_brdf_pdf, had_bounce, rays)
     (rng, ray_o, ray_d, light, reduction, alive,
-     aov_normal, aov_tangent, aov_bitangent,
-     prev_brdf_pdf, had_bounce) = jax.lax.fori_loop(
+     aov_normal, aov_tangent, aov_bitangent, aov_albedo,
+     prev_brdf_pdf, had_bounce, rays) = jax.lax.fori_loop(
         0, config.max_bounces, bounce_body, carry)
 
     # --- progressive accumulation (kernel.cpp:597-645) -------------------
@@ -386,21 +434,27 @@ def render_sample(config, ir, state, pixel_offset=0) -> dict:
 
     passes = state["passes"]
     rgb_scale = jnp.where(ok[None, :, None], scale[None, :, None], 1.0)
-    keep = jnp.arange(PASSES_COUNT) != DENOISE
-    rgb = passes[:, :, :3] * jnp.where(keep[:, None, None], rgb_scale, 1.0)
+    rgb = passes[:, :, :3] * rgb_scale
 
     adds = jnp.zeros_like(rgb)
+    # DENOISE carries the progressive first-hit albedo (denoiser guide);
+    # the reference leaves it zeroed (kernel.cpp:602-644).
     for pid, val in ((BEAUTY, light), (NORMAL, aov_normal),
-                     (TANGENT, aov_tangent), (BITANGENT, aov_bitangent)):
+                     (TANGENT, aov_tangent), (BITANGENT, aov_bitangent),
+                     (DENOISE, aov_albedo)):
         adds = adds.at[pid].set(jnp.where(ok[:, None], val * inv[:, None], 0.0))
     rgb = rgb + adds
     passes = passes.at[:, :, :3].set(rgb)
 
-    return {
+    out = {
         "passes": passes,
         "samples": state["samples"] + ok.astype(jnp.uint32),
         "rng": rng,
     }
+    if config.count_rays:
+        out["ray_count"] = state["ray_count"] + rays.astype(
+            state["ray_count"].dtype)
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
@@ -424,5 +478,13 @@ def render_samples_jit(config, ir, state, n: int):
     """n progressive samples in ONE dispatch (lax.fori_loop), amortizing
     per-launch overhead — the analog of enqueueing several sample kernels
     back-to-back (kernel.cpp:689-699) but without host round-trips."""
+    return jax.lax.fori_loop(
+        0, n, lambda i, st: render_sample(config, ir, st), state)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def render_samples_jit_safe(config, ir, state, n: int):
+    """Non-donating n-sample dispatch for the interactive renderer: the
+    previous snapshot stays valid for get_pass while the chunk runs."""
     return jax.lax.fori_loop(
         0, n, lambda i, st: render_sample(config, ir, st), state)
