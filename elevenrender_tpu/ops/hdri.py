@@ -32,7 +32,9 @@ def pack_hdri(hdri) -> dict:
     return {
         "img": jnp.asarray(img[:, :, :3].astype(np.float32)),
         "cdf": jnp.asarray(hdri.cdf.astype(np.float32)),
-        "rsum": jnp.asarray(np.float32(hdri.radiance_sum)),
+        # Guarded so an all-black env yields pdf 0 (-> NEE term zeroed in
+        # native mode) instead of 0/0 NaN killing every sample.
+        "rsum": jnp.asarray(np.float32(max(hdri.radiance_sum, 1e-30))),
     }
 
 
@@ -125,6 +127,27 @@ def env_pdf(env, x, y, center: bool = False):
     lum = val[..., 0] + val[..., 1] + val[..., 2]
     denom = (2.0 * jnp.pi * jnp.pi) if center else (2.0 * jnp.pi)
     return (lum / env["rsum"]) * W * H / (denom * jnp.sin(theta))
+
+
+def env_pdf_uv(env, u, v):
+    """Exact solid-angle pdf of the NATIVE env sampler at continuous
+    equirect (u, v): texel picked with P = lum/rsum, then uniform jitter
+    within the texel (see integrator render_sample), so the density in
+    (u, v) is P * W * H and the equirect measure is
+    dw = 2 pi^2 sin(theta) du dv.  Evaluating sin at the JITTERED v (not
+    the texel center) makes pdf() the true density of the sampler — the
+    requirement for unbiased NEE and consistent MIS weights.  Without the
+    jitter a coarse HDRI (worst case: the default 1x1 constant grey,
+    HDRI.cpp:18) collapses NEE onto single fixed directions while
+    claiming a continuous pdf — a real bias the furnace test catches.
+    """
+    H, W, _ = env["img"].shape
+    x = jnp.clip(jnp.trunc(u * W).astype(jnp.int32), 0, W - 1)
+    y = jnp.clip(jnp.trunc(v * H).astype(jnp.int32), 0, H - 1)
+    val = env["img"][y, x]
+    lum = val[..., 0] + val[..., 1] + val[..., 2]
+    sin_t = jnp.maximum(jnp.sin(v * jnp.pi), 1e-8)
+    return (lum / env["rsum"]) * W * H / (2.0 * jnp.pi * jnp.pi * sin_t)
 
 
 def balance_heuristic(a, b):

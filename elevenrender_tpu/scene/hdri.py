@@ -35,9 +35,13 @@ class HDRI:
             lum = img[..., 0] * 3.0  # 1-channel promotes to grey
         lum = lum.astype(np.float64).reshape(-1)
         self.radiance_sum = float(lum.sum())
+        # All-black env: the reference divides 0/0 here (NaN CDF) and every
+        # sample dies in the NaN guard.  Guard the division so the CDF is
+        # well-formed (all zeros); the device pdf is then 0 and native mode
+        # zeroes the NEE term instead of poisoning the sample.
         cdf = np.empty(lum.size + 1, np.float64)
         cdf[0] = 0.0
-        np.cumsum(lum / self.radiance_sum, out=cdf[1:])
+        np.cumsum(lum / max(self.radiance_sum, 1e-30), out=cdf[1:])
         self.cdf = cdf.astype(np.float32)
 
     def pdf(self, x: int, y: int) -> float:

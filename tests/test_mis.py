@@ -17,7 +17,8 @@ from elevenrender_tpu.core import rng as rng_mod
 from elevenrender_tpu.core.vecmath import dot, normalize
 from elevenrender_tpu.ops.disney import disney_eval, disney_pdf, disney_sample
 from elevenrender_tpu.ops.hdri import (balance_heuristic, env_fetch_uv,
-                                       env_pdf, pack_hdri, sample_env_exact)
+                                       env_pdf_uv, pack_hdri,
+                                       sample_env_exact)
 from elevenrender_tpu.ops.texture import reverse_spherical_mapping, spherical_mapping
 from elevenrender_tpu.scene.hdri import HDRI
 from elevenrender_tpu.scene.texture import Texture
@@ -82,10 +83,13 @@ def test_mis_estimator_unbiased():
     nN = jnp.broadcast_to(n_vec, (N, 3))
 
     sx, sy = sample_env_exact(env, r_nee)
-    nu = (sx.astype(jnp.float32) + 0.5) / imgW
-    nv = (sy.astype(jnp.float32) + 0.5) / imgH
+    # In-texel jitter, exactly as the native integrator samples.
+    ju = jnp.asarray(key_rng.uniform(0, 1, N).astype(np.float32))
+    jv = jnp.asarray(key_rng.uniform(0, 1, N).astype(np.float32))
+    nu = (sx.astype(jnp.float32) + ju) / imgW
+    nv = (sy.astype(jnp.float32) + jv) / imgH
     wi = -normalize(reverse_spherical_mapping(nu, nv))
-    pdf_e = env_pdf(env, sx, sy, center=True)
+    pdf_e = env_pdf_uv(env, nu, nv)
     f_nee = disney_eval(hdn, vN, nN, wi)
     pdf_b_at_nee = disney_pdf(hdn, vN, nN, wi)
     hw = balance_heuristic(pdf_e, pdf_b_at_nee)
@@ -100,9 +104,7 @@ def test_mis_estimator_unbiased():
     wb = normalize(wb)
     pdf_b = disney_pdf(hdn, vN, nN, wb)
     ub, vb = spherical_mapping(-wb)
-    bx = jnp.trunc(ub * imgW).astype(jnp.int32) % imgW
-    by = jnp.trunc(vb * imgH).astype(jnp.int32) % imgH
-    pdf_e_at_b = env_pdf(env, bx, by, center=True)
+    pdf_e_at_b = env_pdf_uv(env, ub, vb)
     bw = balance_heuristic(pdf_b, pdf_e_at_b)
     f_b = disney_eval(hdn, vN, nN, wb)
     Lb = env_fetch_uv(env, ub, vb)
@@ -149,10 +151,13 @@ def test_each_strategy_alone_is_unbiased_for_smooth_env():
     vN = jnp.broadcast_to(v_vec, (N, 3))
     nN = jnp.broadcast_to(n_vec, (N, 3))
     sx, sy = sample_env_exact(env, r)
-    nu = (sx.astype(jnp.float32) + 0.5) / imgW
-    nv = (sy.astype(jnp.float32) + 0.5) / imgH
+    jrng = np.random.default_rng(6)
+    ju = jnp.asarray(jrng.uniform(0, 1, N).astype(np.float32))
+    jv = jnp.asarray(jrng.uniform(0, 1, N).astype(np.float32))
+    nu = (sx.astype(jnp.float32) + ju) / imgW
+    nv = (sy.astype(jnp.float32) + jv) / imgH
     wi = -normalize(reverse_spherical_mapping(nu, nv))
-    pdf_e = env_pdf(env, sx, sy, center=True)
+    pdf_e = env_pdf_uv(env, nu, nv)
     c = env_fetch_uv(env, nu, nv) * disney_eval(hdn, vN, nN, wi) * \
         jnp.abs(dot(wi, nN))[..., None] / jnp.maximum(pdf_e, 1e-12)[..., None]
     est = np.asarray(c.mean(axis=0))
