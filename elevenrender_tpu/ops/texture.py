@@ -27,7 +27,12 @@ FILTER_BILINEAR = 1
 def pack_atlas(textures) -> dict:
     """Pack host Textures into flat device arrays.
 
-    Returns {"data": [P] f32, "off"/"w"/"h"/"ch"/"filter": [K] i32}.
+    Returns {"data": [P, 4] f32 texel rows, "off"/"w"/"h"/"ch"/"filter":
+    [K] i32} with ``off`` in TEXELS.  One texel = one padded 4-float row,
+    so a fetch is a single row-gather — the same [T,40] trick as
+    ops/intersect.pack_tri_attributes; TPU row-gathers move 4 lanes per
+    index where scalar gathers move one (the reference chases per-texture
+    float* instead, Texture.cpp:172-200).
     Always contains at least one (dummy) texture so gathers are safe.
     """
     datas = []
@@ -38,16 +43,18 @@ def pack_atlas(textures) -> dict:
     filt = []
     cursor = 0
     for t in textures:
-        flat = t.data.reshape(-1).astype(np.float32)
-        datas.append(flat)
+        texels = t.data.reshape(-1, t.channels).astype(np.float32)
+        rows = np.zeros((texels.shape[0], 4), np.float32)
+        rows[:, :min(t.channels, 4)] = texels[:, :4]
+        datas.append(rows)
         off.append(cursor)
         w.append(t.width)
         h.append(t.height)
         ch.append(t.channels)
         filt.append(t.filter)
-        cursor += flat.size
+        cursor += rows.shape[0]
     if not datas:
-        datas = [np.zeros(1, np.float32)]
+        datas = [np.zeros((1, 4), np.float32)]
         off, w, h, ch, filt = [0], [1], [1], [1], [FILTER_NONE]
     return {
         "data": jnp.asarray(np.concatenate(datas)),
@@ -67,22 +74,24 @@ def _trunc_mod_abs(x, m):
 
 
 def fetch_texel(atlas, tex_id, x, y):
-    """getValueFromCoordinates (Texture.cpp:172-200) -> [..., 3]."""
+    """getValueFromCoordinates (Texture.cpp:172-200) -> [..., 3].
+
+    ONE row-gather per texel (the [P,4] texel-row layout from pack_atlas)
+    instead of three scalar gathers."""
     off = atlas["off"][tex_id]
     w = atlas["w"][tex_id]
     h = atlas["h"][tex_id]
     ch = atlas["ch"][tex_id]
     x = _trunc_mod_abs(x.astype(jnp.int32), w)
     y = _trunc_mod_abs(y.astype(jnp.int32), h)
-    base = off + ch * (y * w + x)
+    base = off + y * w + x
     P = atlas["data"].shape[0]
-    c0 = atlas["data"][jnp.clip(base, 0, P - 1)]
-    c1 = atlas["data"][jnp.clip(base + 1, 0, P - 1)]
-    c2 = atlas["data"][jnp.clip(base + 2, 0, P - 1)]
+    row = atlas["data"][jnp.clip(base, 0, P - 1)]  # [..., 4]
+    c0 = row[..., 0]
     # channels==1 -> grey broadcast; ==2 -> (x,y,0); >=3 -> rgb.
     r = c0
-    g = jnp.where(ch >= 2, c1, c0)
-    b = jnp.where(ch >= 3, c2, jnp.where(ch == 1, c0, 0.0))
+    g = jnp.where(ch >= 2, row[..., 1], c0)
+    b = jnp.where(ch >= 3, row[..., 2], jnp.where(ch == 1, c0, 0.0))
     return vec3(r, g, b)
 
 
@@ -115,12 +124,42 @@ def sample_bilinear(atlas, tex_id, u, v):
     return lerp(lerp(v1, v2, a), lerp(v3, v4, a), b)
 
 
-def sample_filtered(atlas, tex_id, u, v):
-    """getValueFromUVFiltered (Texture.cpp:229-236): per-texture filter."""
+def sample_filtered(atlas, tex_id, u, v, uniform_filter: int = -1):
+    """getValueFromUVFiltered (Texture.cpp:229-236): per-texture filter.
+
+    ``uniform_filter`` is a STATIC hint from scene build: when every
+    texture in the atlas shares one filter, dispatch compiles to just that
+    sampler (1 or 4 gathers).  Mixed atlases (-1) take 4 gathers: the
+    nearest-filter lanes collapse all four bilinear taps onto the nearest
+    texel, so the lerp degenerates to it — versus the 5 gathers + select
+    of evaluating both samplers.
+    """
+    if uniform_filter == FILTER_NONE:
+        return sample_nearest(atlas, tex_id, u, v)
+    if uniform_filter == FILTER_BILINEAR:
+        return sample_bilinear(atlas, tex_id, u, v)
+
+    w = atlas["w"][tex_id].astype(jnp.float32)
+    h = atlas["h"][tex_id].astype(jnp.float32)
     bil = atlas["filter"][tex_id] == FILTER_BILINEAR
-    return jnp.where(bil[..., None],
-                     sample_bilinear(atlas, tex_id, u, v),
-                     sample_nearest(atlas, tex_id, u, v))
+    x = u * w
+    y = v * h
+    t1x = jnp.floor(x)
+    t1y = jnp.floor(y)
+    a = jnp.where(bil, x - t1x, 0.0)[..., None]
+    b = jnp.where(bil, y - t1y, 0.0)[..., None]
+    # Nearest truncates toward zero (not floor); collapse the 4 taps.
+    nx = _trunc_i32(x).astype(jnp.float32)
+    ny = _trunc_i32(y).astype(jnp.float32)
+    x0 = jnp.where(bil, t1x, nx)
+    y0 = jnp.where(bil, t1y, ny)
+    x1 = jnp.where(bil, t1x + 1, nx)
+    y1 = jnp.where(bil, t1y + 1, ny)
+    v1 = fetch_texel(atlas, tex_id, _trunc_i32(x0), _trunc_i32(y0))
+    v2 = fetch_texel(atlas, tex_id, _trunc_i32(x1), _trunc_i32(y0))
+    v3 = fetch_texel(atlas, tex_id, _trunc_i32(x0), _trunc_i32(y1))
+    v4 = fetch_texel(atlas, tex_id, _trunc_i32(x1), _trunc_i32(y1))
+    return lerp(lerp(v1, v2, a), lerp(v3, v4, a), b)
 
 
 def spherical_mapping(p):

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..ops.bvh import build_bvh
 from ..ops.hdri import pack_hdri
-from ..ops.texture import pack_atlas
+from ..ops.texture import FILTER_NONE, pack_atlas
 
 MAP_SLOT_ORDER = ("albedo", "emission", "roughness", "metallic", "normal",
                   "opacity", "transmission")
@@ -67,6 +67,18 @@ class RenderConfig:
     # Morton-sort rays before packet/pallas traversal (ops/sort.py) so
     # tiles stay spatially compact; essential for secondary/shadow rays.
     sort_rays: bool = True
+    # Static shading facts (computed by build_ir from the host scene so
+    # XLA compiles away unused fetch paths — see _generate_hitdata):
+    # which of the 7 map slots any material actually binds, whether all
+    # atlas textures share one filter (else -1), and whether any material
+    # has a programmable shader.
+    tex_slots_used: tuple = (True, True, True, True, True, True, True)
+    tex_uniform_filter: int = -1
+    use_shaders: bool = True
+    # Count ALIVE rays (path segments + shadow segments actually needing a
+    # result) into state["ray_count"] — for honest bench accounting; the
+    # lockstep wavefront always pays 2*max_bounces launches regardless.
+    count_rays: bool = False
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
@@ -187,10 +199,21 @@ def build_ir(scene, config: RenderConfig | None = None,
         },
     }
 
+    # Static shading facts: slots no material binds are compiled away,
+    # a single-filter atlas drops the per-lane filter select, and the
+    # shader pass vanishes when no material has a shader id.
+    tex_table = np.asarray(ir["materials"]["tex"])
+    filters = sorted({t.filter for t in scene.textures})
+    shader_ids = np.asarray(ir["materials"]["shader"])
+
     config = config.replace(
         x_res=scene.x_res, y_res=scene.y_res,
         bvh_depth=bvh["depth"], bvh_max_leaf=bvh["max_leaf"],
         bokeh=bool(scene.camera.bokeh),
         n_lights=len(scene.point_lights),
+        tex_slots_used=tuple(bool(b) for b in (tex_table >= 0).any(axis=0)),
+        tex_uniform_filter=(filters[0] if len(filters) == 1
+                            else (FILTER_NONE if not filters else -1)),
+        use_shaders=bool((shader_ids >= 0).any()),
     )
     return config, ir
