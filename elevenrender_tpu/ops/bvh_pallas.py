@@ -27,8 +27,19 @@ sublane vector load fetches the row; fields are extracted at static lane
 positions and the entry is chosen with an (i&7)-select.  64 bytes/entry —
 no padding waste; a 65k-tri scene needs ~8MB of VMEM.
 
-Limits (v1): the whole scene must fit in VMEM — to ~150k tris; larger
-scenes fall back to the jnp paths until the HBM-streaming variant lands.
+Two triangle residencies (nodes/leaf tables are always VMEM-resident —
+they are 2^(D+8) bytes total, 8MB at depth 15):
+- VMEM (default, scenes to ~150k tris): the packed tri table rides in
+  VMEM; leaf scans read it directly.
+- HBM-streamed (``stream=True``, arbitrary T): the tri table stays in
+  HBM (pl.ANY) and each leaf-parent visit DMAs its triangles into a VMEM
+  scratch before scanning.  The two children of a leaf parent cover a
+  CONTIGUOUS range [l_from, r_to) of the leaf-ordered tris (the SAH
+  partition splits a parent's range in place, BVH.cpp:402-414), so ONE
+  dynamic-start fixed-size DMA feeds both child scans.  This matches the
+  reference's arbitrary-T traversal (BVH.cpp:63-120) at TPU bandwidth:
+  the megakernel gathers tris from device memory per thread; here a
+  whole packet shares each ~5KB contiguous burst.
 
 Ray tiles must be spatially coherent — see ops/sort.py.
 """
@@ -84,8 +95,9 @@ def _entry_scalars(row, e, lanes, use_roll: bool = True):
 
 def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, idx_out, t_out, *, depth, max_leaf,
-            stack_smem):
+            stack_smem, tri_scratch=None, dma_sem=None, rows2=0):
     D = depth
+    stream = tri_scratch is not None
 
     ox = ox_ref[...]
     oy = oy_ref[...]
@@ -124,20 +136,28 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         near = jnp.min(jnp.where(hit, tmin, jnp.inf))
         return jnp.any(hit), near
 
-    def leaf_scan(frm, to, best_idx, best_t):
+    def leaf_scan(frm, to, best_idx, best_t, base_row=None):
         """Intersect the leaf's contiguous [frm, to) range in groups of
         8 tris: one dynamic-sublane row load per group, all lane offsets
         static (e is the unrolled loop index).  Trip count is the leaf's
         ACTUAL row span, not the global max (leaves are skewed; paying
-        max_leaf everywhere measured ~2-4x extra leaf work)."""
+        max_leaf everywhere measured ~2-4x extra leaf work).
+
+        ``base_row``: when streaming, tri rows live in ``tri_scratch``
+        starting at this absolute row (set by do_leaves' DMA)."""
         n_groups = jnp.where(to > frm,
                              ((to - 1) >> 3) - (frm >> 3) + 1, 0)
 
         def group_body(g, carry):
             best_idx, best_t = carry
             row_i = (frm >> 3) + g
-            row_i = jnp.minimum(row_i, tri_ref.shape[0] - 1)
-            trow = _row_vec(tri_ref, row_i)
+            if stream:
+                rel = jnp.clip(row_i - base_row, 0, rows2 - 1)
+                trow = _row_vec(tri_scratch, rel)
+                row_i = jnp.minimum(row_i, tri_ref.shape[0] - 1)
+            else:
+                row_i = jnp.minimum(row_i, tri_ref.shape[0] - 1)
+                trow = _row_vec(tri_ref, row_i)
             for e in range(ENTRIES_PER_ROW):
                 slot = (row_i << 3) + e
                 base = e * ENTRY_LANES
@@ -203,10 +223,25 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             # leaf table) — off the interior hot path entirely.
             lrow = _row_vec(leaf_ref, node >> 3)
             lf, lt, rf, rt = _entry_scalars(lrow, node & 7, range(4))
+            base_row = None
+            if stream:
+                # The SAH partition splits a parent's tri range in place,
+                # so [lf, lt) and [rf, rt) tile the contiguous [lf, rt):
+                # ONE fixed-size DMA from the HBM tri table covers both
+                # child scans (the table is padded by rows2 at pack time
+                # so the dynamic start never reads past the end).
+                base_row = lf >> 3
+                dma = pltpu.make_async_copy(
+                    tri_ref.at[pl.ds(base_row, rows2), :],
+                    tri_scratch, dma_sem)
+                dma.start()
+                dma.wait()
             # Right child first, then left (BVH.cpp:81-87).
-            c = jax.lax.cond(r_over, lambda c: leaf_scan(rf, rt, *c),
+            c = jax.lax.cond(r_over,
+                             lambda c: leaf_scan(rf, rt, *c, base_row),
                              lambda c: c, c)
-            c = jax.lax.cond(l_over, lambda c: leaf_scan(lf, lt, *c),
+            c = jax.lax.cond(l_over,
+                             lambda c: leaf_scan(lf, lt, *c, base_row),
                              lambda c: c, c)
             return c
 
@@ -254,10 +289,10 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "max_leaf",
-                                             "interpret", "chunk"))
+                                             "interpret", "chunk", "stream"))
 def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                     max_leaf: int, interpret: bool = False,
-                    chunk: int = 512):
+                    chunk: int = 512, stream: bool = False):
     """nodes/leaf/tris9: packed tables from pack_bvh_for_pallas (8
     entries per 128-lane row).  ray_o/ray_d: [N, 3] (unit directions).
     Returns (idx [N] i32 — leaf-order tri index, -1 on miss; t [N] f32).
@@ -265,6 +300,11 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
     ``chunk``: grid steps per kernel launch.  Large = few launches (each
     launch carries real overhead); the blocked per-step buffers are tiny
     (6x4KB double-buffered), so hundreds of steps fit VMEM comfortably.
+
+    ``stream``: keep the tri table in HBM and DMA each leaf parent's
+    contiguous tri burst into a VMEM scratch (see module docstring) —
+    removes the VMEM triangle-count ceiling; nodes/leaf stay VMEM
+    (2^(depth+8) bytes, so depth <= 15 ~ 8MB).
     """
     N = ray_o.shape[0]
     CHUNK = min(chunk, max(-(-N // TILE), 1))
@@ -287,6 +327,18 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
     leaf_shape = leaf.shape
     tris_shape = tris9.shape
 
+    # Streaming scratch: rows covering a leaf parent's worst-case
+    # contiguous child span [lf, rt) (<= 2*max_leaf tris) plus row slack.
+    rows2 = (2 * max_leaf + 7) // ENTRIES_PER_ROW + 1
+    scratch_shapes = [pltpu.SMEM((depth + 2, 2), jnp.int32)]
+    if stream:
+        tris_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch_shapes += [pltpu.VMEM((rows2, LANE), jnp.float32),
+                           pltpu.SemaphoreType.DMA(())]
+    else:
+        tris_spec = pl.BlockSpec(tris_shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+
     grid_spec = pl.GridSpec(
         grid=(CHUNK,),
         in_specs=[
@@ -297,8 +349,7 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(leaf_shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(tris_shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            tris_spec,
         ] + [
             pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -310,12 +361,14 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
             pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.SMEM((depth + 2, 2), jnp.int32)],
+        scratch_shapes=scratch_shapes,
     )
 
     def kernel(nodes_ref, leaf_ref, tri_ref, *rest):
         refs = rest[:6]
         idx_out, t_out, stack = rest[6], rest[7], rest[8]
+        tri_scratch = rest[9] if stream else None
+        dma_sem = rest[10] if stream else None
         sq = [r[0] for r in refs]
 
         def squeeze_out(ref):
@@ -326,7 +379,8 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
 
         _kernel(nodes_ref, leaf_ref, tri_ref, *sq,
                 squeeze_out(idx_out), squeeze_out(t_out),
-                depth=depth, max_leaf=max_leaf, stack_smem=stack)
+                depth=depth, max_leaf=max_leaf, stack_smem=stack,
+                tri_scratch=tri_scratch, dma_sem=dma_sem, rows2=rows2)
 
     call = pl.pallas_call(
         kernel,
@@ -391,7 +445,11 @@ def pack_bvh_for_pallas(bvh: dict, tri_verts_sorted) -> tuple:
     tv[:, 3:6] -= tv[:, 0:3]  # e1 = v1 - v0
     tv[:, 6:9] -= tv[:, 0:3]  # e2 = v2 - v0
     T = tv.shape[0]
-    tris = np.zeros((rows(T), LANE), np.float32)
+    # Trailing pad rows: the streaming kernel DMAs a fixed rows2-row
+    # window starting anywhere in the table (worst case: an empty leaf
+    # whose from==to==T), so the window must never run off the end.
+    pad_rows = (2 * bvh["max_leaf"] + 7) // ENTRIES_PER_ROW + 2
+    tris = np.zeros((rows(T) + pad_rows, LANE), np.float32)
     ti = np.arange(T)
     tr = ti >> 3
     tb = (ti & 7) * ENTRY_LANES

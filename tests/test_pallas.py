@@ -48,3 +48,33 @@ def test_pallas_exact_tile_boundary():
     pi, _ = traverse_pallas(nodes, leaf, tris9, o, d, depth=bvh["depth"],
                             max_leaf=bvh["max_leaf"], interpret=True)
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
+
+
+def test_pallas_stream_matches_per_ray():
+    """HBM-streaming variant (tris DMA'd per leaf parent) must agree with
+    the per-ray reference walk — the correctness gate for >VMEM scenes
+    (BASELINE config 5, ~1M tris; cf. BVH.cpp:63-120 arbitrary-T)."""
+    tris, o, d = random_scene(3000, 2000, seed=2)
+    bvh = build_bvh(tris)
+    st = tris[bvh["perm"]]
+    nodes, leaf, tris9 = pack_bvh_for_pallas(bvh, st)
+    dev = {k: jnp.asarray(bvh[k]) for k in
+           ("node_bmin", "node_bmax", "node_from", "node_to")}
+    ri, rt = traverse(dev, jnp.asarray(st), o, d, depth=bvh["depth"],
+                      max_leaf=bvh["max_leaf"])
+    pi, pt = traverse_pallas(nodes, leaf, tris9, o, d, depth=bvh["depth"],
+                             max_leaf=bvh["max_leaf"], interpret=True,
+                             stream=True)
+    vi, vt = traverse_pallas(nodes, leaf, tris9, o, d, depth=bvh["depth"],
+                             max_leaf=bvh["max_leaf"], interpret=True,
+                             stream=False)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
+    hit = np.asarray(ri) >= 0
+    # vs the per-ray walk: same tris, t to float ordering noise (the
+    # packed kernel evaluates Moller-Trumbore with a different op order).
+    np.testing.assert_allclose(np.asarray(pt)[hit], np.asarray(rt)[hit],
+                               rtol=1e-5, atol=1e-6)
+    # vs the VMEM-resident kernel: BIT-identical — the DMA path changes
+    # only where the tri rows are read from.
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(vi))
+    np.testing.assert_array_equal(np.asarray(pt), np.asarray(vt))
