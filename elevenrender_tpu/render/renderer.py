@@ -22,7 +22,8 @@ import jax
 from ..utils.logging import get_logger
 from . import denoise as denoise_mod
 from .integrator import (BEAUTY, BITANGENT, DENOISE, NORMAL, PASSES_COUNT,
-                         TANGENT, init_state, render_sample_jit_safe)
+                         TANGENT, init_state, render_sample_jit_safe,
+                         render_samples_jit_safe)
 
 log = get_logger()
 
@@ -73,18 +74,28 @@ class Renderer:
         with self._lock:
             self._snapshot = self.state
 
-    def start(self, sample_target: int | None = None) -> None:
-        """Asynchronous render (start_rendering, Managers.cpp:234-275)."""
+    def start(self, sample_target: int | None = None,
+              samples_per_dispatch: int = 4) -> None:
+        """Asynchronous render (start_rendering, Managers.cpp:234-275).
+
+        Steps ``samples_per_dispatch`` progressive samples per device
+        dispatch (render_samples_jit_safe) to amortize launch overhead —
+        the analog of enqueueing several sample kernels back-to-back
+        (kernel.cpp:689-699) — while still snapshotting between chunks so
+        get_pass stays progressive."""
         target = sample_target or self.config.sample_target
+        chunk = max(1, min(samples_per_dispatch, target))
         self._stop.clear()
 
         def run():
-            log.info("Rendering %dx%d at %d samples",
-                     self.config.x_res, self.config.y_res, target)
-            for s in range(target):
-                if self._stop.is_set():
-                    break
-                self.state = render_sample_jit_safe(self.config, self.ir, self.state)
+            log.info("Rendering %dx%d at %d samples (%d per dispatch)",
+                     self.config.x_res, self.config.y_res, target, chunk)
+            done = 0
+            while done < target and not self._stop.is_set():
+                n = min(chunk, target - done)
+                self.state = render_samples_jit_safe(
+                    self.config, self.ir, self.state, n)
+                done += n
                 with self._lock:
                     self._snapshot = self.state
             jax.block_until_ready(self.state["passes"])
@@ -114,9 +125,12 @@ class Renderer:
         pid = parse_pass(name)
         w, h = self.config.x_res, self.config.y_res
         if pid == DENOISE:
+            # Normal + first-hit-albedo guided (the DENOISE slot carries
+            # the albedo AOV — integrator.render_sample).
             raw = np.asarray(snap["passes"][BEAUTY]).reshape(-1)
-            guide = np.asarray(snap["passes"][NORMAL]).reshape(-1)
-            return np.asarray(denoise_mod.denoise(w, h, raw, guide),
+            nrm = np.asarray(snap["passes"][NORMAL]).reshape(-1)
+            alb = np.asarray(snap["passes"][DENOISE]).reshape(-1)
+            return np.asarray(denoise_mod.denoise(w, h, raw, nrm, alb),
                               np.float32)
         raw = np.asarray(snap["passes"][pid], np.float32).reshape(-1)
         if apply_denoise is None:
