@@ -59,6 +59,47 @@ def parse_texture_msgs(metadata: dict, data: np.ndarray) -> Texture:
         data=data, filter=Texture.FILTER_NONE, srgb=(cs == "sRGB"))
 
 
+COMMAND_WORDS = ("load_config", "load_texture", "load_object", "load_camera",
+                 "load_hdri", "load_brdf_material", "load_osl_material",
+                 "start", "pause", "abort", "get_info", "get_sycl_info",
+                 "get_pass")
+
+
+def parse_command_args(command_str: str) -> dict[str, list[str]]:
+    """argv-style parse (str_to_argv + boost::program_options,
+    main.cpp:13-24, 43-86) -> {flag: [values]}.
+
+    Hardened beyond the reference parser (which throws into a catch-all):
+    - malformed quoting falls back to whitespace splitting;
+    - a value may not begin with '--' (it starts the next flag — matching
+      program_options, where such a token is always an option);
+    - repeated flags keep the LAST occurrence;
+    - bare command words act as flags, and a bare ``get_pass normal``
+      binds the following positional as its value.
+    """
+    try:
+        args = shlex.split(command_str)
+    except ValueError:  # unbalanced quotes
+        args = command_str.split()
+
+    flags: dict[str, list[str]] = {}
+    current: str | None = None
+    for a in args:
+        if a.startswith("--"):
+            current = a[2:]
+            flags[current] = []
+        elif current is not None:
+            flags[current].append(a)
+        else:
+            # Leading bare word: command itself (argv parity).
+            if a in COMMAND_WORDS:
+                current = a
+                flags[current] = []
+            else:
+                flags.setdefault(a, [])
+    return flags
+
+
 class CommandSession:
     """Per-connection session: scene + render lifecycle (CommandManager)."""
 
@@ -74,25 +115,7 @@ class CommandSession:
     def handle_command(self, command_str: str) -> bool:
         """Execute one command string.  Returns False to close session."""
         log.info("Parsing: %s", command_str)
-        args = shlex.split(command_str)
-        flags: dict[str, list[str]] = {}
-        pos: list[str] = []
-        i = 0
-        while i < len(args):
-            a = args[i]
-            if a.startswith("--"):
-                key = a[2:]
-                vals = []
-                while i + 1 < len(args) and not args[i + 1].startswith("--"):
-                    vals.append(args[i + 1])
-                    i += 1
-                flags[key] = vals
-            else:
-                pos.append(a)
-            i += 1
-        for p in pos:  # bare command words count as flags (argv parity)
-            flags.setdefault(p, [])
-
+        flags = parse_command_args(command_str)
         path = " ".join(flags["path"]).strip('"') if "path" in flags else None
 
         try:

@@ -17,6 +17,9 @@ import json
 import numpy as np
 
 MESSAGE_HEADER_SIZE = 1024
+# Largest accepted payload (2 GiB): a 16k x 16k float4 texture is ~4 GiB,
+# but single messages beyond this are rejected as hostile/corrupt.
+MAX_DATA_SIZE = 2 << 30
 
 TYPES = ("none", "command", "status", "data")
 FORMATS = ("none", "float3", "float4", "string", "json")
@@ -73,10 +76,23 @@ class Message:
 
     @staticmethod
     def parse_header(raw: bytes) -> tuple["Message", int]:
-        obj = json.loads(raw.split(b"\x00", 1)[0].decode())
-        msg = Message(type=obj.get("type", "none"),
-                      data_format=obj.get("data_format", "none"))
-        return msg, int(obj.get("data_size", 0))
+        """Raises ValueError on a malformed or hostile header (bad JSON,
+        negative or absurd data_size) — the stream cannot be resynced
+        after a corrupt header, so the session must close; the acceptor
+        survives and re-accepts (tcp.py).  The reference reads data_size
+        blindly (TCPInterface.cpp:45-50) — a DoS hardening superset."""
+        try:
+            obj = json.loads(raw.split(b"\x00", 1)[0].decode("utf-8"))
+            size = int(obj.get("data_size", 0))
+        except (ValueError, UnicodeDecodeError, AttributeError) as e:
+            raise ValueError(f"malformed message header: {e}") from e
+        if not isinstance(obj, dict):
+            raise ValueError("malformed message header: not a JSON object")
+        if size < 0 or size > MAX_DATA_SIZE:
+            raise ValueError(f"unreasonable data_size {size}")
+        msg = Message(type=str(obj.get("type", "none")),
+                      data_format=str(obj.get("data_format", "none")))
+        return msg, size
 
 
 # -- sync socket IO (client-side helper + tests) ---------------------------

@@ -47,6 +47,11 @@ class RenderServer:
                 self.serve_client(conn)
             except (ConnectionError, OSError) as e:
                 log.info("Client disconnected: %s", e)
+            except ValueError as e:
+                # Malformed/hostile header (protocol.parse_header): the
+                # stream cannot be resynced — drop this client, keep
+                # accepting.
+                log.error("Protocol error, closing session: %s", e)
             finally:
                 conn.close()
             log.info("Disconnected")
