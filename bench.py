@@ -1,14 +1,25 @@
 """Benchmark: rays/sec/chip on the BASELINE metric.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+HEADLINE metric (BASELINE.md:21 / BASELINE.json:2): rays/sec/chip
+**forward+backward** at 1024x1024 — one differentiable render step
+(render + MSE loss + material-parameter gradients, render/grad.py) per
+sample.  A "ray" is one wavefront path or NEE shadow segment: the lockstep
+integrator launches 2 * max_bounces rays per pixel per sample (masked
+lanes still occupy the vector units); the same fixed work unit is used for
+fwd-only so rounds stay comparable.  ``extra`` additionally reports:
+  - fwd_rays_per_sec: forward-only progressive rendering (the serving
+    path), stepped in 8-sample single-dispatch chunks
+    (integrator.render_samples_jit) to amortize launch overhead;
+  - alive_rays_per_sec: honest accounting — only lanes actually needing a
+    trace result (path alive / shadow launched), measured by the
+    integrator's count_rays instrumentation on the same scene.
 
 Scene: a 65k-triangle heightfield + HDRI sky + glossy Disney terrain
 (BASELINE config 5 shaped, VMEM-resident so the Pallas packet-traversal
-kernel is exercised), rendered at 1024x1024 in native mode.  A "ray" is
-one traced path or NEE shadow segment: the lockstep wavefront launches
-2 * max_bounces rays per pixel per sample (masked lanes still occupy the
-vector units).
+kernel is exercised), rendered at 1024x1024 in native mode.
 
 Timing note: on the tunneled TPU (axon), block_until_ready does NOT wait
 for remote execution — every timing boundary materializes a scalar
@@ -42,7 +53,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from scenes import heightfield_scene
-    from elevenrender_tpu.render.integrator import init_state, render_sample_jit
+    from elevenrender_tpu.render.grad import fwd_bwd_step
+    from elevenrender_tpu.render.integrator import (init_state,
+                                                    render_samples_jit)
 
     scene, config, ir = heightfield_scene(grid=grid, res=res, spp=spp,
                                           compat=False)
@@ -50,35 +63,66 @@ def main():
     def sync(state):
         return float(jnp.sum(state["samples"]))
 
+    rays_per_sample = 2.0 * config.max_bounces * res * res
+
+    # ---- forward-only: chunked single-dispatch progressive sampling -----
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
     state = init_state(config)
-    state = render_sample_jit(config, ir, state)
-    sync(state)  # compile + first sample fully materialized
+    state = render_samples_jit(config, ir, state, chunk)
+    sync(state)  # compile + first chunk fully materialized
 
-    n_bench = min(spp - 1, int(os.environ.get("BENCH_STEPS", "8")))
+    n_bench = min(max(spp - chunk, chunk),
+                  int(os.environ.get("BENCH_STEPS", "16")))
+    n_bench -= n_bench % chunk
     t0 = time.time()
-    for _ in range(n_bench):
-        state = render_sample_jit(config, ir, state)
+    for _ in range(n_bench // chunk):
+        state = render_samples_jit(config, ir, state, chunk)
     sync(state)
-    dt = time.time() - t0
+    dt_fwd = time.time() - t0
+    fwd_rays_per_sec = rays_per_sample * n_bench / dt_fwd
 
-    rays = 2.0 * config.max_bounces * res * res * n_bench
-    rays_per_sec = rays / dt
+    # ---- alive-ray accounting (instrumented, not timed) ------------------
+    cfg_count = config.replace(count_rays=True)
+    st = init_state(cfg_count)
+    st = render_samples_jit(cfg_count, ir, st, 2)
+    alive_per_sample = float(st["ray_count"]) / 2.0
+    alive_rays_per_sec = alive_per_sample * n_bench / dt_fwd
+
+    # ---- fwd+bwd: the BASELINE headline ----------------------------------
+    target = jnp.zeros((res * res, 3), jnp.float32)
+    loss, grads = fwd_bwd_step(config, ir, target, 1)
+    float(loss)  # compile + materialize
+    n_grad = int(os.environ.get("BENCH_GRAD_STEPS", "4"))
+    t0 = time.time()
+    for _ in range(n_grad):
+        loss, grads = fwd_bwd_step(config, ir, target, 1)
+    float(loss)
+    float(jnp.sum(grads["materials"]["albedo"]))
+    dt_bwd = time.time() - t0
+    fwdbwd_rays_per_sec = rays_per_sample * n_grad / dt_bwd
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_SELF.json")
     vs = 1.0
     if os.path.exists(base_path):
         with open(base_path) as f:
-            recorded = json.load(f).get("rays_per_sec")
-        if recorded:
-            vs = rays_per_sec / recorded
+            recorded = json.load(f)
+        base = recorded.get("fwd_bwd_rays_per_sec")
+        if base:
+            vs = fwdbwd_rays_per_sec / base
 
     print(json.dumps({
-        "metric": f"rays/sec/chip fwd, {grid*grid*2//1000}k tris at "
-                  f"{res}x{res} ({n_bench} spp timed)",
-        "value": round(rays_per_sec, 1),
+        "metric": f"rays/sec/chip fwd+bwd, {grid*grid*2//1000}k tris at "
+                  f"{res}x{res} ({n_grad} grad steps timed)",
+        "value": round(fwdbwd_rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs, 4),
+        "extra": {
+            "fwd_rays_per_sec": round(fwd_rays_per_sec, 1),
+            "alive_rays_per_sec": round(alive_rays_per_sec, 1),
+            "alive_fraction": round(alive_per_sample / rays_per_sample, 4),
+            "fwd_samples_per_dispatch": chunk,
+        },
     }))
 
 
