@@ -332,7 +332,7 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
     rows2 = (2 * max_leaf + 7) // ENTRIES_PER_ROW + 1
     scratch_shapes = [pltpu.SMEM((depth + 2, 2), jnp.int32)]
     if stream:
-        tris_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        tris_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch_shapes += [pltpu.VMEM((rows2, LANE), jnp.float32),
                            pltpu.SemaphoreType.DMA(())]
     else:

@@ -85,6 +85,11 @@ class Renderer:
         get_pass stays progressive."""
         target = sample_target or self.config.sample_target
         chunk = max(1, min(samples_per_dispatch, target))
+        if self._thread is not None and self._thread.is_alive():
+            # Restart while rendering: stop at the next chunk boundary,
+            # then continue accumulating under the new target.
+            self._stop.set()
+            self._thread.join()
         self._stop.clear()
 
         def run():

@@ -35,6 +35,11 @@ class Scene:
         self.hdri = HDRI()           # default constant 0.5 grey
         self.x_res = 1280
         self.y_res = 720
+        # True whenever content changed since the last build(); lets the
+        # command layer resume a paused render instead of rebuilding
+        # (the reference rebuilds on every start, Managers.cpp:234-275,
+        # and its declared pause is a no-op — this is the completion).
+        self.dirty = True
 
     # -- mutators (Scene.cpp:36-68) ---------------------------------------
     def add_texture(self, texture) -> None:
@@ -42,12 +47,15 @@ class Scene:
         if texture.name not in self.texture_ids:
             self.texture_ids[texture.name] = len(self.textures)
             self.textures.append(texture)
+            self.dirty = True
 
     def add_material(self, material: Material) -> None:
         self.materials.append(material)
+        self.dirty = True
 
     def add_mesh(self, mesh: MeshData) -> None:
         self.meshes.append(mesh)
+        self.dirty = True
 
     def add_meshes(self, meshes) -> None:
         for m in meshes:
@@ -55,9 +63,15 @@ class Scene:
 
     def add_point_light(self, light: PointLight) -> None:
         self.point_lights.append(light)
+        self.dirty = True
 
     def add_hdri(self, hdri: HDRI) -> None:
         self.hdri = hdri
+        self.dirty = True
+
+    def set_camera(self, camera: Camera) -> None:
+        self.camera = camera
+        self.dirty = True
 
     # -- pairing ----------------------------------------------------------
     def pair_textures(self) -> None:

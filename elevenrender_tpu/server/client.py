@@ -97,6 +97,16 @@ class RenderClient:
         self.command("--start")
         self._expect_ok()
 
+    def pause(self) -> None:
+        """Stop rendering, keep progress; start() resumes."""
+        self.command("--pause")
+        self._expect_ok()
+
+    def abort(self) -> None:
+        """Stop rendering and discard progress."""
+        self.command("--abort")
+        self._expect_ok()
+
     def get_info(self) -> dict:
         self.command("--get_info")
         return self.recv().get_json_data()

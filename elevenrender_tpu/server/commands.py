@@ -11,6 +11,11 @@ flags match main.cpp:48-83:
   --path --recompute_normals --mirror_x --mirror_y --output
   --get_info --get_sycl_info --get_pass <name>
 
+Superset over the reference: pause/abort are declared but no-ops there
+(main.cpp:81-82).  Here `pause` stops the render thread keeping the
+accumulated state (a bare `start` resumes the remaining samples, since
+the progressive carry IS the checkpoint), while `abort` discards it.
+
 (get_* work both as ``--get_info`` flags, as the reference registers them,
 and bare ``get_info`` for convenience.)  Disk loads (--path) are fully
 implemented for OBJ (the only one the reference implements,
@@ -110,6 +115,7 @@ class CommandSession:
         self.scene = Scene()
         self.config = RenderConfig()
         self.renderer: Renderer | None = None
+        self._config_dirty = True
 
     # ---- command handling ----------------------------------------------
     def handle_command(self, command_str: str) -> bool:
@@ -138,9 +144,21 @@ class CommandSession:
                 self.send(Message.ok())
             elif "start" in flags:
                 self._start()
-            elif "pause" in flags or "abort" in flags:
+            elif "pause" in flags:
+                # Real pause (the reference declares it a no-op,
+                # main.cpp:81): stop the render thread at the next chunk
+                # boundary; the accumulation state stays, and a subsequent
+                # bare `start` resumes exactly where it left off.
                 if self.renderer is not None:
                     self.renderer.stop()
+                    self.renderer.join()
+                self.send(Message.ok())
+            elif "abort" in flags:
+                # Abort discards progress: the next start re-renders.
+                if self.renderer is not None:
+                    self.renderer.stop()
+                    self.renderer.join()
+                    self.renderer = None
                 self.send(Message.ok())
             elif "get_info" in flags:
                 self._get_info()
@@ -168,6 +186,7 @@ class CommandSession:
         self.config = rp
         self.scene.x_res = rp.x_res
         self.scene.y_res = rp.y_res
+        self._config_dirty = True
         self.send(Message.ok())
 
     def _load_camera(self, path):
@@ -176,7 +195,7 @@ class CommandSession:
                 cam = Camera.from_json(json.load(f))
         else:
             cam = Camera.from_json(self.recv().get_json_data())
-        self.scene.camera = cam
+        self.scene.set_camera(cam)
         self.send(Message.ok())
 
     def _load_texture(self, path, mirror_x=False, mirror_y=False):
@@ -240,8 +259,21 @@ class CommandSession:
 
     # ---- actions --------------------------------------------------------
     def _start(self):
+        if (self.renderer is not None and not self.scene.dirty
+                and not self._config_dirty):
+            # Resume a paused render: nothing changed since the last
+            # build, so keep the accumulated state and finish the
+            # remaining samples.
+            done = self.renderer.get_render_info()["samples"]
+            remaining = self.config.sample_target - done
+            if remaining > 0:
+                self.renderer.start(remaining)
+            self.send(Message.ok())
+            return
         config, ir = self.scene.build(config=self.config)
         self.config = config
+        self.scene.dirty = False
+        self._config_dirty = False
         self.renderer = Renderer(config, ir)
         self.renderer.start(config.sample_target)
         self.send(Message.ok())

@@ -77,6 +77,27 @@ print("AFTER-BOGUS INFO:", c.get_info())
 img2 = c.get_pass("nonexistent_pass").reshape(RES, RES, 4)
 print("UNKNOWN PASS == BEAUTY:", bool(np.allclose(img2, img)))
 
+# Pause keeps progress; bare start resumes the remaining samples.
+c.load_config(x_res=RES, y_res=RES, sample_target=2000)
+c.start()
+for _ in range(600):
+    if c.get_info().get("samples", 0) >= 4:
+        break
+    time.sleep(0.05)
+c.pause()
+s1 = c.get_info()["samples"]
+time.sleep(0.3)
+s2 = c.get_info()["samples"]
+print(f"PAUSED at {s1} samples; still {s2} after 0.3s:", s1 == s2)
+c.start()
+for _ in range(600):
+    if c.get_info()["samples"] >= 2000:
+        break
+    time.sleep(0.1)
+print("RESUMED to", c.get_info()["samples"], "(target 2000)")
+c.abort()
+print("ABORT discards progress; samples now:", c.get_info()["samples"])
+
 c.close()
 c2 = RenderClient("127.0.0.1", PORT, timeout=60)
 print("RECONNECT OK")

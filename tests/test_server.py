@@ -66,3 +66,51 @@ def test_full_session(server):
     msg = c2.recv()
     assert msg.get_string_data() == "ok"
     c2.close()
+
+
+def test_pause_resume_abort(server):
+    """pause keeps progress and start resumes it; abort discards it.
+    (The reference declares both commands as no-ops, main.cpp:81-82.)"""
+    c = RenderClient("127.0.0.1", PORT, timeout=300)
+    target = 2000  # big enough that the pause lands mid-render
+    c.load_config(x_res=16, y_res=16, sample_target=target)
+    c.load_camera({
+        "position": {"x": 0.0, "y": 1.0, "z": -3.5},
+        "rotation": {"x": 0.0, "y": 0.0, "z": 0.0},
+        "focal_length": 0.035, "sensor_width": 0.036,
+        "sensor_height": 0.024, "aperture": 2.8,
+        "focus_distance": 1e6, "bokeh": False})
+    c.load_brdf_material({"name": "white",
+                          "albedo": {"r": 0.7, "g": 0.7, "b": 0.7}})
+    c.load_brdf_material({"name": "lamp",
+                          "albedo": {"r": 0, "g": 0, "b": 0},
+                          "emission": {"r": 10, "g": 10, "b": 10}})
+    c.load_hdri(np.full((2, 4, 3), 0.1, np.float32))
+    c.load_object(CORNELL_OBJ, mtl_text="newmtl white\nnewmtl lamp\n")
+
+    c.start()
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if c.get_info().get("samples", 0) >= 4:
+            break
+        time.sleep(0.05)
+
+    c.pause()
+    s1 = c.get_info()["samples"]
+    assert 4 <= s1 < target
+    time.sleep(0.3)
+    assert c.get_info()["samples"] == s1, "samples advanced while paused"
+
+    c.start()  # bare start after pause = resume, not rebuild
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        s = c.get_info()["samples"]
+        assert s >= s1, "resume dropped accumulated progress"
+        if s >= target:
+            break
+        time.sleep(0.2)
+    assert c.get_info()["samples"] == target
+
+    c.abort()
+    assert c.get_info()["samples"] == 0
+    c.close()
