@@ -54,6 +54,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Tile of rays traversed together: sublane x lane register shape.
+# SUB is the default; traverse_pallas takes ``sub`` to widen the tile —
+# a wider tile amortizes the scalar-driven walk over more rays per node
+# visit but descends into the union of its rays' nodes (see sweep_tile).
 SUB = 8
 LANE = 128
 TILE = SUB * LANE  # 1024
@@ -133,6 +136,10 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         tmin = mx(mx(mn(t1, t2), mn(t3, t4)), mn(t5, t6))
         tmax = mn(mn(mx(t1, t2), mx(t3, t4)), mx(t5, t6))
         hit = ~((tmax < 0.0) | (tmin > tmax)) & (tmin < best_t)
+        # Keep any(hit) as its own predicate reduction: deriving it from
+        # the float near-min (near < inf) measured 3x SLOWER at sub=8 —
+        # the min lands on the critical scalar path, whereas Mosaic
+        # schedules the predicate-or cheaply (A/B in docs/PERF.md).
         near = jnp.min(jnp.where(hit, tmin, jnp.inf))
         return jnp.any(hit), near
 
@@ -281,18 +288,20 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
     stack_smem[0, 0] = -1  # sentinel (transverse pushes invalid first)
     stack_smem[0, 1] = 0
     init = (False, jnp.int32(0), jnp.int32(0), jnp.int32(1),
-            jnp.full((SUB, LANE), -1, jnp.int32),
-            jnp.full((SUB, LANE), jnp.inf, jnp.float32))
+            jnp.full(ox.shape, -1, jnp.int32),
+            jnp.full(ox.shape, jnp.inf, jnp.float32))
     out = jax.lax.while_loop(cond, body, init)
     idx_out[...] = out[4]
     t_out[...] = out[5]
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "max_leaf",
-                                             "interpret", "chunk", "stream"))
+                                             "interpret", "chunk", "stream",
+                                             "sub"))
 def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                     max_leaf: int, interpret: bool = False,
-                    chunk: int = 512, stream: bool = False):
+                    chunk: int = 512, stream: bool = False,
+                    sub: int = SUB):
     """nodes/leaf/tris9: packed tables from pack_bvh_for_pallas (8
     entries per 128-lane row).  ray_o/ray_d: [N, 3] (unit directions).
     Returns (idx [N] i32 — leaf-order tri index, -1 on miss; t [N] f32).
@@ -305,23 +314,29 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
     contiguous tri burst into a VMEM scratch (see module docstring) —
     removes the VMEM triangle-count ceiling; nodes/leaf stay VMEM
     (2^(depth+8) bytes, so depth <= 15 ~ 8MB).
+
+    ``sub``: tile sublanes — tile is sub*128 rays.  Wider tiles amortize
+    the scalar-driven walk over more rays but visit the union of their
+    nodes; 8 measured best for coherent AND sorted-incoherent rays on
+    v5e (scripts/sweep_tile.py).
     """
     N = ray_o.shape[0]
-    CHUNK = min(chunk, max(-(-N // TILE), 1))
-    pad = (-N) % (TILE * CHUNK)
+    tile = sub * LANE
+    CHUNK = min(chunk, max(-(-N // tile), 1))
+    pad = (-N) % (tile * CHUNK)
     if pad:
         ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3), ray_o.dtype)])
         ray_d = jnp.concatenate(
             [ray_d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], ray_d.dtype),
                              (pad, 1))])
     NP = N + pad
-    NT = NP // TILE
+    NT = NP // tile
     n_chunks = NT // CHUNK
 
     comps = []
     for arr in (ray_o, ray_d):
         for c in range(3):
-            comps.append(arr[:, c].reshape(n_chunks, CHUNK, SUB, LANE))
+            comps.append(arr[:, c].reshape(n_chunks, CHUNK, sub, LANE))
 
     nodes_shape = nodes.shape
     leaf_shape = leaf.shape
@@ -351,14 +366,14 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                          memory_space=pltpu.VMEM),
             tris_spec,
         ] + [
-            pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(6)
         ],
         out_specs=[
-            pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=scratch_shapes,
@@ -386,8 +401,8 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((CHUNK, SUB, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((CHUNK, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((CHUNK, sub, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((CHUNK, sub, LANE), jnp.float32),
         ],
         interpret=interpret,
     )

@@ -55,5 +55,10 @@ def sort_for_packets(origin, direction, bounds_min, bounds_max, mask=None):
     if mask is not None:
         key = jnp.where(mask, key, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key)
-    inverse = jnp.argsort(order)
+    # inverse[order[i]] = i — a scatter, NOT a second argsort (which would
+    # pay a full 1M-key device sort again; there are 2 traces x bounces of
+    # these per sample).
+    n = order.shape[0]
+    inverse = jnp.zeros_like(order).at[order].set(
+        jnp.arange(n, dtype=order.dtype))
     return order, inverse

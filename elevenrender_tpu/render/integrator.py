@@ -127,7 +127,8 @@ def _trace(config, ir, ray_o, ray_d, mask=None):
                                  ray_o, ray_d, depth=config.bvh_depth,
                                  max_leaf=config.bvh_max_leaf,
                                  interpret=jax.default_backend() == "cpu",
-                                 stream=mode == "pallas_stream")
+                                 stream=mode == "pallas_stream",
+                                 sub=config.pallas_sub)
     elif mode == "packet":
         idx, t = bvh_ops.traverse_packet(ir["bvh"], tris, ray_o, ray_d,
                                          depth=config.bvh_depth,

@@ -64,6 +64,12 @@ class RenderConfig:
     # walk (slow on TPU: per-lane gathers), "packet"/"brute" force one.
     trace_mode: str = "auto"
     packet_tile: int = 128
+    # Pallas traversal tile = pallas_sub * 128 rays sharing one
+    # scalar-driven BVH walk.  The kernel is scalar/loop-bound, so wider
+    # tiles win until the tile's node union dominates: on v5e, 32 beat 8
+    # by 2.2-7x on coherent AND sorted-incoherent rays
+    # (scripts/sweep_tile.py, docs/PERF.md).
+    pallas_sub: int = 32
     # Morton-sort rays before packet/pallas traversal (ops/sort.py) so
     # tiles stay spatially compact; essential for secondary/shadow rays.
     sort_rays: bool = True

@@ -50,6 +50,26 @@ def test_pallas_exact_tile_boundary():
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
 
 
+def test_pallas_tile_widths_agree():
+    """Widening the tile (sub) changes visit grouping only, never results
+    — gate for the pallas_sub config knob (default 32, docs/PERF.md)."""
+    tris, o, d = random_scene(500, 3000, seed=7)
+    bvh = build_bvh(tris)
+    st = tris[bvh["perm"]]
+    nodes, leaf, tris9 = pack_bvh_for_pallas(bvh, st)
+    ref = None
+    for sub in (8, 32, 64):
+        pi, pt = traverse_pallas(nodes, leaf, tris9, o, d,
+                                 depth=bvh["depth"],
+                                 max_leaf=bvh["max_leaf"], interpret=True,
+                                 sub=sub)
+        if ref is None:
+            ref = (np.asarray(pi), np.asarray(pt))
+        else:
+            np.testing.assert_array_equal(np.asarray(pi), ref[0])
+            np.testing.assert_array_equal(np.asarray(pt), ref[1])
+
+
 def test_pallas_stream_matches_per_ray():
     """HBM-streaming variant (tris DMA'd per leaf parent) must agree with
     the per-ray reference walk — the correctness gate for >VMEM scenes
