@@ -41,11 +41,12 @@ class RenderClient:
     # -- high level --------------------------------------------------------
     def load_config(self, x_res: int, y_res: int, sample_target: int,
                     denoise: bool = False, device: str = "",
-                    block_size: int = 8) -> None:
+                    block_size: int = 8, compat: bool = True) -> None:
         self.command("--load_config")
         write_message(self.sock, Message.json_msg({
             "x_res": x_res, "y_res": y_res, "sample_target": sample_target,
-            "denoise": denoise, "device": device, "block_size": block_size}))
+            "denoise": denoise, "device": device, "block_size": block_size,
+            "compat": compat}))
         self._expect_ok()
 
     def load_camera(self, camera_json: dict) -> None:
@@ -91,6 +92,16 @@ class RenderClient:
     def load_brdf_material(self, mat_json: dict) -> None:
         self.command("--load_brdf_material")
         write_message(self.sock, Message.json_msg(mat_json))
+        self._expect_ok()
+
+    def load_point_light(self, position, radiance) -> None:
+        """Protocol superset: the reference's point lights are dead code
+        with no load command (kernel.cpp:269-301); here they feed live
+        NEE in native mode."""
+        self.command("--load_point_light")
+        write_message(self.sock, Message.json_msg(
+            {"position": list(map(float, position)),
+             "radiance": list(map(float, radiance))}))
         self._expect_ok()
 
     def start(self) -> None:

@@ -45,13 +45,19 @@ log = get_logger()
 
 
 def parse_config_json(obj: dict) -> RenderConfig:
-    """ConfigTCPLoadInputCommand::load (CommandManager.cpp:154-172)."""
+    """ConfigTCPLoadInputCommand::load (CommandManager.cpp:154-172).
+
+    Superset key ``compat`` (default true = reference-quirk parity):
+    false selects native mode — proper MIS weights, exact env CDF
+    inversion, and live point-light NEE (required for lights loaded via
+    load_point_light to contribute)."""
     return RenderConfig(
         x_res=int(obj["x_res"]), y_res=int(obj["y_res"]),
         sample_target=int(obj["sample_target"]),
         denoise=bool(obj["denoise"]),
         device=str(obj.get("device", "")),
         block_size=int(obj.get("block_size", 8)),
+        compat=bool(obj.get("compat", True)),
     )
 
 
@@ -66,8 +72,8 @@ def parse_texture_msgs(metadata: dict, data: np.ndarray) -> Texture:
 
 COMMAND_WORDS = ("load_config", "load_texture", "load_object", "load_camera",
                  "load_hdri", "load_brdf_material", "load_osl_material",
-                 "start", "pause", "abort", "get_info", "get_sycl_info",
-                 "get_pass")
+                 "load_point_light", "start", "pause", "abort", "get_info",
+                 "get_sycl_info", "get_pass")
 
 
 def parse_command_args(command_str: str) -> dict[str, list[str]]:
@@ -139,6 +145,8 @@ class CommandSession:
                 self._load_brdf(path)
             elif "load_object" in flags:
                 self._load_object(path, "recompute_normals" in flags)
+            elif "load_point_light" in flags:
+                self._load_point_light(path)
             elif "load_osl_material" in flags:
                 log.error("load_osl_material not implemented")  # parity
                 self.send(Message.ok())
@@ -240,6 +248,24 @@ class CommandSession:
         self.scene.pair_textures()
         self.send(Message.ok())
 
+    def _load_point_light(self, path):
+        """Protocol superset: the reference has a PointLight type
+        (Scene.h:62, PointLight.h:4-16) but no command to load one (and
+        its point-light shading is dead code, kernel.cpp:269-301).  Here
+        a JSON ``{"position": [x,y,z], "radiance": [r,g,b]}`` payload —
+        from --path or a follow-up data message — feeds the native
+        integrator's live point-light NEE."""
+        from ..scene.scene import PointLight
+        if path:
+            with open(path) as f:
+                obj = json.load(f)
+        else:
+            obj = self.recv().get_json_data()
+        self.scene.add_point_light(PointLight(
+            position=np.asarray(obj["position"], np.float32),
+            radiance=np.asarray(obj["radiance"], np.float32)))
+        self.send(Message.ok())
+
     def _load_object(self, path, recompute_normals):
         if path:
             meshes, mtl_mats = load_objs(path,
@@ -263,7 +289,12 @@ class CommandSession:
                 and not self._config_dirty):
             # Resume a paused render: nothing changed since the last
             # build, so keep the accumulated state and finish the
-            # remaining samples.
+            # remaining samples.  Settle the render thread FIRST: reading
+            # the sample count while chunks are still completing would
+            # undercount `done` and overshoot sample_target (a bare
+            # double --start must resume, not extend).
+            self.renderer.stop()
+            self.renderer.join()
             done = self.renderer.get_render_info()["samples"]
             remaining = self.config.sample_target - done
             if remaining > 0:
@@ -284,6 +315,29 @@ class CommandSession:
             info = self.renderer.get_render_info()
         self.send(Message.json_msg(info))
 
+    # Device-probe cache: compatibility of a device does not change within
+    # a server process, so each device is probed at most once.
+    _probe_cache: dict = {}
+
+    @classmethod
+    def _probe_device(cls, d) -> bool:
+        """Real compatibility probe — the analog of the reference's
+        ``sycl::is_compatible<KernelNameTest>`` (kernel.cpp:708-720),
+        which actually test-compiles a kernel for the device.  Here:
+        jit-compile and run a trivial step pinned to the device; any
+        compile/runtime failure marks it incompatible."""
+        import jax
+        import jax.numpy as jnp
+        key = (d.platform, d.id)
+        if key not in cls._probe_cache:
+            try:
+                out = jax.jit(lambda x: x * 2.0 + 1.0)(
+                    jax.device_put(jnp.ones((8,), jnp.float32), d))
+                cls._probe_cache[key] = bool(abs(float(out[0]) - 3.0) < 1e-6)
+            except Exception:  # noqa: BLE001 — any failure = incompatible
+                cls._probe_cache[key] = False
+        return cls._probe_cache[key]
+
     def _get_device_info(self):
         """get_sycl_info analog: enumerate JAX devices
         (CommandManager.cpp:303-362)."""
@@ -296,7 +350,7 @@ class CommandSession:
                 "memory": getattr(d, "memory_stats", lambda: {})() or {},
                 "max_compute_units": d.core_on_chip
                 if hasattr(d, "core_on_chip") else 1,
-                "is_compatible": True,
+                "is_compatible": self._probe_device(d),
                 "online_compiler": True,
                 "type": "tpu" if d.platform == "tpu" else d.platform,
             })

@@ -68,6 +68,54 @@ def test_full_session(server):
     c2.close()
 
 
+def test_point_light_over_wire(server):
+    """load_point_light + native-mode config: the light must actually
+    illuminate the scene (the reference can't express point lights on the
+    wire at all, and its shading for them is dead code,
+    kernel.cpp:269-301)."""
+    c = RenderClient("127.0.0.1", PORT, timeout=300)
+    c.load_config(x_res=16, y_res=16, sample_target=2, compat=False)
+    c.load_camera({
+        "position": {"x": 0.0, "y": 1.0, "z": -3.5},
+        "rotation": {"x": 0.0, "y": 0.0, "z": 0.0},
+        "focal_length": 0.035, "sensor_width": 0.036,
+        "sensor_height": 0.024, "aperture": 2.8,
+        "focus_distance": 1e6, "bokeh": False})
+    c.load_brdf_material({"name": "white",
+                          "albedo": {"r": 0.7, "g": 0.7, "b": 0.7}})
+    c.load_brdf_material({"name": "lamp",
+                          "albedo": {"r": 0.7, "g": 0.7, "b": 0.7}})
+    c.load_hdri(np.zeros((2, 4, 3), np.float32))  # black env
+    c.load_object(CORNELL_OBJ, mtl_text="newmtl white\nnewmtl lamp\n")
+    c.load_point_light([0.0, 1.5, -1.0], [20.0, 20.0, 20.0])
+
+    c.start()
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if c.get_info().get("samples", 0) >= 2:
+            break
+        time.sleep(1)
+    img = c.get_pass("beauty")
+    assert np.isfinite(img).all()
+    # Black env + no emissive materials: any light is the point light's.
+    assert img.reshape(-1, 4)[:, :3].max() > 1e-3
+    c.abort()
+    c.close()
+
+
+def test_device_probe(server):
+    """get_sycl_info must report a REAL compatibility probe (the analog
+    of sycl::is_compatible, kernel.cpp:708-720), not a hardcoded True."""
+    c = RenderClient("127.0.0.1", PORT, timeout=60)
+    info = c.get_device_info()
+    assert len(info["devices"]) >= 1
+    for d in info["devices"]:
+        assert isinstance(d["is_compatible"], bool)
+    # The default device renders our tests, so it must probe compatible.
+    assert info["devices"][0]["is_compatible"] is True
+    c.close()
+
+
 def test_pause_resume_abort(server):
     """pause keeps progress and start resumes it; abort discards it.
     (The reference declares both commands as no-ops, main.cpp:81-82.)"""
