@@ -53,7 +53,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from scenes import heightfield_scene
-    from elevenrender_tpu.render.grad import fwd_bwd_step
+    from elevenrender_tpu.render.grad import fwd_bwd_step, fwd_bwd_step_accum
     from elevenrender_tpu.render.integrator import (init_state,
                                                     render_samples_jit)
 
@@ -88,18 +88,33 @@ def main():
     alive_per_sample = float(st["ray_count"]) / 2.0
     alive_rays_per_sec = alive_per_sample * n_bench / dt_fwd
 
-    # ---- fwd+bwd: the BASELINE headline ----------------------------------
+    # ---- fwd+bwd: the BASELINE headline AT ITS OWN SHAPE ------------------
+    # One differentiable render at the metric's full spp (BASELINE.md:21:
+    # 1024x1024, 64 spp) via the flat-memory two-pass accumulator
+    # (render/grad.py:render_loss_and_grad_accum) — direct AD through a
+    # 64-sample loop would store 64 wavefronts of residuals.
     target = jnp.zeros((res * res, 3), jnp.float32)
-    loss, grads = fwd_bwd_step(config, ir, target, 1)
+    grad_spp = int(os.environ.get("BENCH_GRAD_SPP", str(spp)))
+    loss, grads = fwd_bwd_step_accum(config, ir, target, grad_spp)
     float(loss)  # compile + materialize
+    float(jnp.sum(grads["materials"]["albedo"]))
+    t0 = time.time()
+    loss, grads = fwd_bwd_step_accum(config, ir, target, grad_spp)
+    float(loss)
+    float(jnp.sum(grads["materials"]["albedo"]))
+    dt_bwd = time.time() - t0
+    fwdbwd_rays_per_sec = rays_per_sample * grad_spp / dt_bwd
+
+    # Legacy 1-spp direct-AD step (round-2 comparability).
+    loss, grads = fwd_bwd_step(config, ir, target, 1)
+    float(loss)
     n_grad = int(os.environ.get("BENCH_GRAD_STEPS", "4"))
     t0 = time.time()
     for _ in range(n_grad):
         loss, grads = fwd_bwd_step(config, ir, target, 1)
     float(loss)
     float(jnp.sum(grads["materials"]["albedo"]))
-    dt_bwd = time.time() - t0
-    fwdbwd_rays_per_sec = rays_per_sample * n_grad / dt_bwd
+    fwdbwd_1spp = rays_per_sample * n_grad / (time.time() - t0)
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_SELF.json")
@@ -112,13 +127,14 @@ def main():
             vs = fwdbwd_rays_per_sec / base
 
     print(json.dumps({
-        "metric": f"rays/sec/chip fwd+bwd, {grid*grid*2//1000}k tris at "
-                  f"{res}x{res} ({n_grad} grad steps timed)",
+        "metric": f"rays/sec/chip fwd+bwd, {(grid-1)*(grid-1)*2//1000}k tris "
+                  f"at {res}x{res}, {grad_spp} spp accumulated",
         "value": round(fwdbwd_rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs, 4),
         "extra": {
             "fwd_rays_per_sec": round(fwd_rays_per_sec, 1),
+            "fwd_bwd_1spp_rays_per_sec": round(fwdbwd_1spp, 1),
             "alive_rays_per_sec": round(alive_rays_per_sec, 1),
             "alive_fraction": round(alive_per_sample / rays_per_sample, 4),
             "fwd_samples_per_dispatch": chunk,

@@ -460,10 +460,12 @@ def pack_bvh_for_pallas(bvh: dict, tri_verts_sorted) -> tuple:
     tv[:, 3:6] -= tv[:, 0:3]  # e1 = v1 - v0
     tv[:, 6:9] -= tv[:, 0:3]  # e2 = v2 - v0
     T = tv.shape[0]
-    # Trailing pad rows: the streaming kernel DMAs a fixed rows2-row
-    # window starting anywhere in the table (worst case: an empty leaf
-    # whose from==to==T), so the window must never run off the end.
-    pad_rows = (2 * bvh["max_leaf"] + 7) // ENTRIES_PER_ROW + 2
+    # Trailing pad rows: the streaming kernels DMA a fixed window
+    # starting anywhere in the table (worst case: an empty leaf whose
+    # from==to==T), so the window must never run off the end.  The 8-wide
+    # kernel's window covers an 8-leaf span (ops/bvh_wide.py), the widest
+    # consumer of this table.
+    pad_rows = (8 * bvh["max_leaf"] + 7) // ENTRIES_PER_ROW + 2
     tris = np.zeros((rows(T) + pad_rows, LANE), np.float32)
     ti = np.arange(T)
     tr = ti >> 3

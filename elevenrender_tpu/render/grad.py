@@ -24,7 +24,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .integrator import BEAUTY, init_state, render_sample
+from .integrator import BEAUTY, init_state, render_sample, sample_radiance
 
 
 def float_subtree(tree: dict) -> dict:
@@ -83,3 +83,63 @@ def fwd_bwd_step(config, ir, target, n_samples: int = 1):
     directions).  Grads taken w.r.t. the full material table."""
     params = {"materials": float_subtree(ir["materials"])}
     return render_loss_and_grad(config, ir, params, target, n_samples)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def render_loss_and_grad_accum(config, ir, params, target, n_samples: int):
+    """Flat-memory n-sample gradient: the two-pass estimator.
+
+    Differentiating render_loss_and_grad at the BASELINE shape (1024²,
+    64 spp) would store 64 samples of wavefront residuals; instead use
+    the linearity of the Monte-Carlo mean.  With per-pixel counts c and
+    valid masks ok_s (the NaN guard):
+
+        img = Σ_s ok_s · light_s / c,   L = mean((img − target)²)
+        ∂L/∂θ = Σ_s VJP(light_s)[ ∂L/∂img · ok_s / c ]
+
+    Pass 1 renders forward-only (no residuals) to get img and c; pass 2
+    replays each sample from the same RNG stream and accumulates ONE
+    sample's VJP at a time in a fori_loop carry — memory is that of a
+    1-spp backward pass regardless of n_samples.  This is the
+    radiative-backprop two-pass structure expressed through XLA autodiff.
+
+    Native mode only (compat's sample-count-starts-at-1 average
+    intentionally dims; gradients target the unbiased native estimate).
+    """
+    assert not config.compat, "accumulated gradients are native-mode only"
+    merged = _merge(ir, params)
+
+    # ---- pass 1: forward only ------------------------------------------
+    img, state_f = render_beauty(config, merged, n_samples)
+    count = jnp.maximum(state_f["samples"].astype(jnp.float32), 1.0)
+    loss = jnp.mean((img - target) ** 2)
+    # d loss / d img, folded with the per-sample progressive weight.
+    seed = (2.0 * (img - target) / img.size) / count[:, None]
+    seed = jax.lax.stop_gradient(seed)
+
+    npix = img.shape[0]
+
+    # ---- pass 2: per-sample VJP accumulation ---------------------------
+    def body(i, carry):
+        grads, rng = carry
+
+        def f(p):
+            out, rng2 = sample_radiance(config, _merge(ir, p), rng, npix)
+            return out["light"], (out["ok"], rng2)
+
+        light, vjp, (ok, rng2) = jax.vjp(f, params, has_aux=True)
+        (g,) = vjp(seed * ok[:, None])
+        grads = jax.tree.map(jnp.add, grads, g)
+        return grads, rng2
+
+    grads0 = jax.tree.map(jnp.zeros_like, params)
+    rng0 = init_state(config)["rng"]
+    grads, _ = jax.lax.fori_loop(0, n_samples, body, (grads0, rng0))
+    return loss, grads
+
+
+def fwd_bwd_step_accum(config, ir, target, n_samples: int):
+    """The BASELINE headline unit at its own shape: n-sample render +
+    n-sample accumulated backward, flat memory (BASELINE.md:21)."""
+    params = {"materials": float_subtree(ir["materials"])}
+    return render_loss_and_grad_accum(config, ir, params, target, n_samples)

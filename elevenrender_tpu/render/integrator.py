@@ -65,19 +65,11 @@ def init_state(config) -> dict:
     return state
 
 
-def _trace(config, ir, ray_o, ray_d, mask=None):
-    """Nearest-hit query (throwRay, kernel.cpp:218-240).
-
-    Mode selection is static (baked into the jitted program): tiny scenes
-    brute-force (vectorized intersect-all beats any traversal overhead),
-    everything else uses packet traversal — per-ray stack walks gather per
-    lane, which TPUs execute near-serially.
-
-    ``mask``: lanes that need a result.  Dead lanes are replaced with a
-    ray that misses the root AABB on step one and (when sorting) packed
-    into the tail tiles, so they cost ~nothing; their (idx, t) come back
-    as (-1, inf), which every caller already masks out.
-    """
+def _resolve_trace_mode(config, ir) -> str:
+    """Static trace-path selection: tiny scenes brute-force (vectorized
+    intersect-all beats any traversal overhead), everything else packet
+    traversal — per-ray stack walks gather per lane, which TPUs execute
+    near-serially."""
     tris = ir["tris"]["verts"]
     mode = config.trace_mode
     if not config.use_bvh:
@@ -93,6 +85,39 @@ def _trace(config, ir, ray_o, ray_d, mask=None):
             mode = "pallas_stream"  # tris DMA-streamed from HBM
         else:
             mode = "packet"
+    return mode
+
+
+def _uses_sort(config, ir) -> bool:
+    """True when the selected trace path reorders rays for packet
+    coherence — the integrator then carries ONE permutation per bounce
+    (computed at the hit points) shared by the shadow launch and the next
+    bounce's path trace, instead of sorting inside every trace."""
+    return (config.sort_rays
+            and _resolve_trace_mode(config, ir) in (
+                "pallas", "pallas_stream", "pallas_wide",
+                "pallas_wide_stream", "packet"))
+
+
+def _trace(config, ir, ray_o, ray_d, mask=None, perm=None):
+    """Nearest-hit query (throwRay, kernel.cpp:218-240).
+
+    Mode selection is static (baked into the jitted program) — see
+    _resolve_trace_mode.
+
+    ``mask``: lanes that need a result.  Dead lanes are replaced with a
+    ray that misses the root AABB on step one and (when sorting) packed
+    into the tail tiles, so they cost ~nothing; their (idx, t) come back
+    as (-1, inf), which every caller already masks out.
+
+    ``perm``: optional precomputed (order, inverse) permutation pair; the
+    trace then skips its own Morton sort and packs rays with the given
+    ordering.  The integrator exploits that bounce and shadow rays
+    originate at the SAME hit points: one sort per bounce serves both
+    (VERDICT r2: the per-trace sorts were 22% of the step).
+    """
+    tris = ir["tris"]["verts"]
+    mode = _resolve_trace_mode(config, ir)
     if mode == "brute":
         idx, t = bvh_ops.brute_force(tris, ray_o, ray_d)
         if mask is not None:
@@ -109,12 +134,16 @@ def _trace(config, ir, ray_o, ray_d, mask=None):
         ray_d = where3(mask, ray_d,
                        jnp.asarray([0.0, 0.0, 1.0], ray_d.dtype))
 
-    if mode in ("pallas", "pallas_stream", "packet") and config.sort_rays:
+    if mode in ("pallas", "pallas_stream", "pallas_wide",
+                "pallas_wide_stream", "packet") and config.sort_rays:
         # Packet coherence: tiles must be spatially compact (ops/sort.py).
-        from ..ops.sort import sort_for_packets
-        order, inverse = sort_for_packets(
-            ray_o, ray_d, ir["bvh"]["node_bmin"][0], ir["bvh"]["node_bmax"][0],
-            mask=mask)
+        if perm is not None:
+            order, inverse = perm
+        else:
+            from ..ops.sort import sort_for_packets
+            order, inverse = sort_for_packets(
+                ray_o, ray_d, ir["bvh"]["node_bmin"][0],
+                ir["bvh"]["node_bmax"][0], mask=mask)
         ray_o = ray_o[order]
         ray_d = ray_d[order]
     else:
@@ -129,6 +158,16 @@ def _trace(config, ir, ray_o, ray_d, mask=None):
                                  interpret=jax.default_backend() == "cpu",
                                  stream=mode == "pallas_stream",
                                  sub=config.pallas_sub)
+    elif mode in ("pallas_wide", "pallas_wide_stream"):
+        from ..ops.bvh_wide import traverse_wide
+        bw = ir["bvh_wide"]
+        idx, t = traverse_wide(bw["nodes"], bw["leaf"],
+                               ir["bvh_packed"]["tris9"],
+                               ray_o, ray_d, depth=config.bvh_depth,
+                               max_leaf=config.bvh_max_leaf,
+                               interpret=jax.default_backend() == "cpu",
+                               stream=mode == "pallas_wide_stream",
+                               sub=config.pallas_sub)
     elif mode == "packet":
         idx, t = bvh_ops.traverse_packet(ir["bvh"], tris, ray_o, ray_d,
                                          depth=config.bvh_depth,
@@ -223,20 +262,17 @@ def _generate_hitdata(config, ir, hit, ray_d):
     return hd
 
 
-def render_sample(config, ir, state, pixel_offset=0) -> dict:
-    """Advance the accumulators by ONE progressive sample for every pixel
-    in ``state`` (the full image, or a shard of it).
+def sample_radiance(config, ir, rng, npix, pixel_offset=0):
+    """One full path-traced sample for every pixel: camera ray + bounce
+    loop, WITHOUT the progressive accumulation (split out so the
+    two-pass gradient accumulator in render/grad.py can VJP a single
+    sample's radiance with flat memory).
 
-    The jitted unit of work; the launch loop (renderer.py) replaces the
-    reference's one-queue-submit-per-sample (kernel.cpp:689-699).
-
-    ``pixel_offset``: global index of this state slice's first pixel —
-    pass ``axis_index * local_npix`` under shard_map so camera rays and
-    RNG streams stay globally correct (parallel/mesh.py).
+    Returns (out, rng) where out = {"light" (post-clamp), "ok" (the NaN
+    guard, kernel.cpp:600), "normal"/"tangent"/"bitangent"/"albedo"
+    first-hit AOVs, "rays" instrumentation}.
     """
     x_res, y_res = config.x_res, config.y_res
-    npix = state["samples"].shape[0]
-    rng = state["rng"]
 
     idx = pixel_offset + jnp.arange(npix, dtype=jnp.int32)
     px = idx % x_res
@@ -269,13 +305,24 @@ def render_sample(config, ir, state, pixel_offset=0) -> dict:
     had_bounce = jnp.zeros((npix,), bool)
     rays = jnp.zeros((), jnp.float32)
 
+    # ONE Morton sort per bounce (ops/sort.py): bounce and shadow rays
+    # originate at the same hit points, so a single permutation — computed
+    # at those points — packs the shadow launch of this bounce AND the
+    # path trace of the next.  The carry starts as the identity: camera
+    # rays are already pixel-ordered (and share one origin), so a sort
+    # would only shuffle by direction octant.  (Per-trace sorting was 22%
+    # of the step, docs/PERF.md.)
+    use_sort = _uses_sort(config, ir)
+    order0 = jnp.arange(npix, dtype=jnp.int32)
+
     def bounce_body(bounce, carry):
         (rng, ray_o, ray_d, light, reduction, alive,
          aov_normal, aov_tangent, aov_bitangent, aov_albedo,
-         prev_brdf_pdf, had_bounce, rays) = carry
+         prev_brdf_pdf, had_bounce, rays, order, inverse) = carry
         if config.count_rays:
             rays = rays + jnp.sum(alive.astype(jnp.float32))
-        hit_idx, hit_t = _trace(config, ir, ray_o, ray_d, mask=alive)
+        hit_idx, hit_t = _trace(config, ir, ray_o, ray_d, mask=alive,
+                                perm=(order, inverse) if use_sort else None)
 
         miss = alive & (hit_idx < 0)
         env_val = hdri_ops.env_radiance(env, ray_d)
@@ -335,6 +382,17 @@ def render_sample(config, ir, state, pixel_offset=0) -> dict:
         if not config.compat:
             wibrdf = jax.lax.stop_gradient(wibrdf)
 
+        if use_sort:
+            # The bounce's single sort: key = Morton(hit position) +
+            # octant of the SAMPLED bounce direction (known already —
+            # wibrdf is drawn above).  Shadow rays share the origins, so
+            # the same tiles stay spatially compact for them too; dead
+            # lanes (mask) pack into tail tiles.
+            from ..ops.sort import sort_for_packets
+            order, inverse = sort_for_packets(
+                hd["position"], wibrdf, ir["bvh"]["node_bmin"][0],
+                ir["bvh"]["node_bmax"][0], mask=alive)
+
         merge_lights = (not config.compat) and config.n_lights > 0
         if merge_lights:
             rng, r_l = rng_mod.next_float_masked(rng, shade)
@@ -345,16 +403,24 @@ def render_sample(config, ir, state, pixel_offset=0) -> dict:
             to_light = lpos - hd["position"]
             ldist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 1e-12))
             wi_l = to_light / ldist[..., None]
+            # Reuse the bounce permutation per half: each half is packed
+            # with the same hit-point ordering (halves are tile-aligned
+            # whenever npix is a tile multiple).
+            perm2 = ((jnp.concatenate([order, order + npix]),
+                      jnp.concatenate([inverse, inverse + npix]))
+                     if use_sort else None)
             both_idx, both_t = _trace(
                 config, ir,
                 jnp.concatenate([shadow_o, hd["position"] + wi_l * 1e-3], 0),
                 jnp.concatenate([wihdri, wi_l], 0),
-                mask=jnp.concatenate([shade, shade], 0))
+                mask=jnp.concatenate([shade, shade], 0),
+                perm=perm2)
             s_idx = both_idx[:npix]
             l_occluded = (both_idx[npix:] >= 0) & \
                 (both_t[npix:] < ldist - 1e-3)
         else:
-            s_idx, _ = _trace(config, ir, shadow_o, wihdri, mask=shade)
+            s_idx, _ = _trace(config, ir, shadow_o, wihdri, mask=shade,
+                              perm=(order, inverse) if use_sort else None)
         occluded = (s_idx >= 0) & (s_idx != hit_idx)
         hdri_val = hdri_ops.env_fetch_uv(env, nu, nv)
         hdri_val = where3(occluded, jnp.zeros_like(hdri_val), hdri_val)
@@ -416,19 +482,42 @@ def render_sample(config, ir, state, pixel_offset=0) -> dict:
             rays = rays + n_shadow * jnp.sum(shade.astype(jnp.float32))
         return (rng, ray_o, ray_d, light, reduction, alive,
                 aov_normal, aov_tangent, aov_bitangent, aov_albedo,
-                prev_brdf_pdf, had_bounce, rays)
+                prev_brdf_pdf, had_bounce, rays, order, inverse)
 
     carry = (rng, ray_o, ray_d, light, reduction, alive,
              aov_normal, aov_tangent, aov_bitangent, aov_albedo,
-             prev_brdf_pdf, had_bounce, rays)
+             prev_brdf_pdf, had_bounce, rays, order0, order0)
     (rng, ray_o, ray_d, light, reduction, alive,
      aov_normal, aov_tangent, aov_bitangent, aov_albedo,
-     prev_brdf_pdf, had_bounce, rays) = jax.lax.fori_loop(
+     prev_brdf_pdf, had_bounce, rays, _, _) = jax.lax.fori_loop(
         0, config.max_bounces, bounce_body, carry)
 
-    # --- progressive accumulation (kernel.cpp:597-645) -------------------
     light = jnp.clip(light, 0.0, config.clamp_radiance)
     ok = ~jnp.any(jnp.isnan(light), axis=-1)
+    return {"light": light, "ok": ok, "normal": aov_normal,
+            "tangent": aov_tangent, "bitangent": aov_bitangent,
+            "albedo": aov_albedo, "rays": rays}, rng
+
+
+def render_sample(config, ir, state, pixel_offset=0) -> dict:
+    """Advance the accumulators by ONE progressive sample for every pixel
+    in ``state`` (the full image, or a shard of it).
+
+    The jitted unit of work; the launch loop (renderer.py) replaces the
+    reference's one-queue-submit-per-sample (kernel.cpp:689-699).
+
+    ``pixel_offset``: global index of this state slice's first pixel —
+    pass ``axis_index * local_npix`` under shard_map so camera rays and
+    RNG streams stay globally correct (parallel/mesh.py).
+    """
+    npix = state["samples"].shape[0]
+    out, rng = sample_radiance(config, ir, state["rng"], npix, pixel_offset)
+    light, ok = out["light"], out["ok"]
+    aov_normal, aov_tangent = out["normal"], out["tangent"]
+    aov_bitangent, aov_albedo = out["bitangent"], out["albedo"]
+    rays = out["rays"]
+
+    # --- progressive accumulation (kernel.cpp:597-645) -------------------
     sa = state["samples"].astype(jnp.float32)
     scale = jnp.where(sa > 0, sa / (sa + 1.0), 1.0)
     inv = 1.0 / (sa + 1.0)

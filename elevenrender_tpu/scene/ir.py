@@ -160,6 +160,14 @@ def build_ir(scene, config: RenderConfig | None = None,
     from ..ops.bvh_pallas import pack_bvh_for_pallas
     nodes_p, leaf_p, tris9_p = pack_bvh_for_pallas(bvh, verts[perm])
 
+    # 8-wide collapse (ops/bvh_wide.py) — same build, same leaf order,
+    # same tri table; one row per wide node holds all 8 child boxes.
+    if bvh["depth"] >= 3:
+        from ..ops.bvh_wide import pack_bvh_wide
+        nodes_w, leaf_w = pack_bvh_wide(bvh)
+    else:
+        nodes_w = leaf_w = None
+
     tris_ir = {
         "verts": jnp.asarray(verts[perm]),
         "normals": jnp.asarray(normals[perm]),
@@ -176,6 +184,8 @@ def build_ir(scene, config: RenderConfig | None = None,
 
     ir = {
         "bvh_packed": {"nodes": nodes_p, "leaf": leaf_p, "tris9": tris9_p},
+        "bvh_wide": ({"nodes": nodes_w, "leaf": leaf_w}
+                     if nodes_w is not None else None),
         "tris": tris_ir,
         "bvh": {
             "node_bmin": jnp.asarray(bvh["node_bmin"]),

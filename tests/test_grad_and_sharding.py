@@ -87,6 +87,32 @@ def test_inverse_rendering_recovers_albedo():
     assert np.abs(rec - tgt).mean() < np.abs(np.array([0.73] * 3) - tgt).mean()
 
 
+def test_accumulated_gradient_matches_direct():
+    """The flat-memory two-pass accumulator (render_loss_and_grad_accum)
+    must equal direct AD through the whole sample loop — same RNG
+    streams, linearity of the Monte-Carlo mean makes it exact up to
+    reduction order."""
+    from elevenrender_tpu.render.grad import render_loss_and_grad_accum
+    config, ir = small_config()
+    params = {"materials": float_subtree(ir["materials"])}
+    state = init_state(config)
+    img = np.asarray(render_sample_jit(config, ir, state)[
+        "passes"][BEAUTY, :, :3])
+    target = jnp.asarray(img * 1.5 + 0.1)
+
+    n = 3
+    loss_d, grads_d = render_loss_and_grad(config, ir, params, target, n)
+    loss_a, grads_a = render_loss_and_grad_accum(config, ir, params,
+                                                 target, n)
+    assert np.isclose(float(loss_d), float(loss_a), rtol=1e-5)
+    flat_d = jax.tree.leaves(grads_d)
+    flat_a = jax.tree.leaves(grads_a)
+    assert len(flat_d) == len(flat_a)
+    for a, d in zip(flat_a, flat_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(d),
+                                   rtol=2e-4, atol=1e-6)
+
+
 def test_camera_and_hdri_gradients_finite():
     """Pixel gradients flow to camera position and HDRI radiance."""
     config, ir = small_config()

@@ -98,3 +98,55 @@ def test_pallas_stream_matches_per_ray():
     # only where the tri rows are read from.
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(vi))
     np.testing.assert_array_equal(np.asarray(pt), np.asarray(vt))
+
+
+def test_wide_matches_per_ray():
+    """8-wide collapse (ops/bvh_wide.py) vs the per-ray reference walk,
+    VMEM and HBM-streaming variants, across depths that exercise a
+    remainder root (D mod 3 = 0, 1, 2)."""
+    from elevenrender_tpu.ops.bvh_wide import pack_bvh_wide, traverse_wide
+    for n_tris, n_rays, depth, seed in ((300, 1500, None, 0),
+                                        (500, 2000, 4, 3),
+                                        (700, 2000, 5, 5),
+                                        (900, 2000, 6, 1)):
+        tris, o, d = random_scene(n_tris, n_rays, seed=seed)
+        bvh = build_bvh(tris, depth=depth)
+        if bvh["depth"] < 3:
+            continue
+        st = tris[bvh["perm"]]
+        _, _, tris9 = pack_bvh_for_pallas(bvh, st)
+        nodes8, leaf8 = pack_bvh_wide(bvh)
+        dev = {k: jnp.asarray(bvh[k]) for k in
+               ("node_bmin", "node_bmax", "node_from", "node_to")}
+        ri, rt = traverse(dev, jnp.asarray(st), o, d, depth=bvh["depth"],
+                          max_leaf=bvh["max_leaf"])
+        for stream in (False, True):
+            wi, wt = traverse_wide(nodes8, leaf8, tris9, o, d,
+                                   depth=bvh["depth"],
+                                   max_leaf=bvh["max_leaf"], interpret=True,
+                                   stream=stream)
+            np.testing.assert_array_equal(np.asarray(wi), np.asarray(ri))
+            hit = np.asarray(ri) >= 0
+            np.testing.assert_allclose(np.asarray(wt)[hit],
+                                       np.asarray(rt)[hit],
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_wide_tile_widths_agree():
+    from elevenrender_tpu.ops.bvh_wide import pack_bvh_wide, traverse_wide
+    tris, o, d = random_scene(500, 3000, seed=7)
+    bvh = build_bvh(tris)
+    st = tris[bvh["perm"]]
+    _, _, tris9 = pack_bvh_for_pallas(bvh, st)
+    nodes8, leaf8 = pack_bvh_wide(bvh)
+    ref = None
+    for sub in (8, 32):
+        wi, wt = traverse_wide(nodes8, leaf8, tris9, o, d,
+                               depth=bvh["depth"],
+                               max_leaf=bvh["max_leaf"], interpret=True,
+                               sub=sub)
+        if ref is None:
+            ref = (np.asarray(wi), np.asarray(wt))
+        else:
+            np.testing.assert_array_equal(np.asarray(wi), ref[0])
+            np.testing.assert_array_equal(np.asarray(wt), ref[1])
