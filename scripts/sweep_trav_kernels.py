@@ -1,0 +1,110 @@
+"""A/B the BVH traversal kernels on the real chip, via the REAL render
+construction path (build_ir; ADVICE r2: sweep_tile.py built its own
+tables/rays and its conclusions disagreed with profile_bench's).
+
+Times, per (kernel, sub) cell: coherent camera rays and Morton-sorted
+shuffled rays, on the bench heightfield at BENCH_GRID (182 = 66k tris
+VMEM-resident; 708 = 1M tris -> stream kernels).
+
+Kernels: binary Pallas (ops/bvh_pallas.py, stream on/off per residency)
+and 8-wide (ops/bvh_wide.py).  Agreement with the binary walk is asserted
+per cell (ties at equal t excluded — leaf visit order may differ).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "tests"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+from scenes import heightfield_scene
+from elevenrender_tpu.ops.bvh_pallas import traverse_pallas
+from elevenrender_tpu.ops.bvh_wide import traverse_wide
+from elevenrender_tpu.ops.camera import camera_ray
+from elevenrender_tpu.ops.sort import sort_for_packets
+
+RES = int(os.environ.get("BENCH_RES", "1024"))
+GRID = int(os.environ.get("BENCH_GRID", "182"))
+REPS = int(os.environ.get("REPS", "3"))
+SUBS = [int(s) for s in os.environ.get("SUBS", "8,16,32").split(",")]
+npix = RES * RES
+interp = jax.default_backend() == "cpu"
+
+scene, config, ir = heightfield_scene(grid=GRID, res=RES, spp=64,
+                                      compat=False)
+T = ir["tris"]["verts"].shape[0]
+stream = T > 120_000  # integrator._resolve_trace_mode VMEM limit
+print(f"tris={T} depth={config.bvh_depth} max_leaf={config.bvh_max_leaf} "
+      f"stream={stream}")
+
+idx = jnp.arange(npix, dtype=jnp.int32)
+px, py = idx % RES, idx // RES
+z = jnp.full((npix,), 0.5, jnp.float32)
+cam = dict(ir["camera"])
+cam["bokeh"] = config.bokeh
+ray_o, ray_d = camera_ray(cam, RES, RES, px, py, z, z, z, z, z)
+perm = jax.random.permutation(jax.random.PRNGKey(0), npix)
+
+
+@jax.jit
+def sorted_rays(o, d):
+    order, _ = sort_for_packets(o, d, ir["bvh"]["node_bmin"][0],
+                                ir["bvh"]["node_bmax"][0])
+    return o[order], d[order]
+
+
+ray_o_inc, ray_d_inc = sorted_rays(ray_o[perm], ray_d[perm])
+
+bp = ir["bvh_packed"]
+bw = ir["bvh_wide"]
+
+
+def bench(name, fn, o, d, ref_t=None):
+    i, t = fn(o, d)
+    i.block_until_ready()
+    float(jnp.sum(t.ravel()[:8]))
+    t0 = time.time()
+    for _ in range(REPS):
+        i, t = fn(o, d)
+    float(jnp.sum(t.ravel()[:8]) + jnp.sum(i.ravel()[:8].astype(jnp.float32)))
+    dt = (time.time() - t0) / REPS
+    print(f"{name:44s} {dt*1e3:9.2f} ms ({npix/dt/1e6:6.1f} Mrays/s)")
+    if ref_t is not None:
+        tn = np.asarray(t)
+        bad = ~np.isclose(tn, ref_t, rtol=1e-5, atol=1e-6) \
+            & ~(np.isinf(tn) & np.isinf(ref_t))
+        assert bad.sum() == 0, f"{name}: {bad.sum()} t mismatches"
+    return np.asarray(t)
+
+
+for label, o, d in (("coherent", ray_o, ray_d),
+                    ("sorted-incoherent", ray_o_inc, ray_d_inc)):
+    ref_t = None
+    for sub in SUBS:
+        def fb(o, d, sub=sub):
+            return traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"], o, d,
+                                   depth=config.bvh_depth,
+                                   max_leaf=config.bvh_max_leaf,
+                                   interpret=interp, stream=stream, sub=sub)
+
+        def fw(o, d, sub=sub):
+            return traverse_wide(bw["nodes"], bw["leaf"], bp["tris9"], o, d,
+                                 depth=config.bvh_depth,
+                                 max_leaf=config.bvh_max_leaf,
+                                 interpret=interp, stream=stream, sub=sub)
+
+        t = bench(f"binary{' stream' if stream else ''} sub={sub} {label}",
+                  fb, o, d, ref_t)
+        if ref_t is None:
+            ref_t = t
+        bench(f"wide{' stream' if stream else ''}   sub={sub} {label}",
+              fw, o, d, ref_t)

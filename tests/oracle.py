@@ -11,8 +11,10 @@ flow, one pixel, one bounce at a time, scalar float32 arithmetic.  If the
 two agree per-pixel across samples, the masking/stream bookkeeping of the
 wavefront is right.
 
-Scope: constant-material scenes (no texture maps — the Cornell golden
-scene), no bokeh, no point lights (dead code in the reference).  All
+Scope (widened r3, VERDICT r2 item 6): constant AND textured materials
+(nearest + bilinear atlas fetch), tangent-space normal mapping,
+stochastic opacity, and thin-lens bokeh — the featured-scene path.  No
+point lights (dead code in the reference; native-only here).  All
 formulas cite the same reference lines as the modules they check.
 """
 
@@ -80,9 +82,30 @@ def reflect(i, n):
     return i - F(2.0) * dot(i, n) * n
 
 
-# --- camera (kernel.cpp:371-431, no bokeh) ---------------------------------
+# --- camera (kernel.cpp:371-473) --------------------------------------------
 
-def camera_ray(cam, x_res, y_res, x, y, r1, r2):
+def _rot_xyz(d, rot):
+    # XYZ Euler (kernel.cpp:410-427).
+    y1 = d[1] * np.cos(rot[0]) - d[2] * np.sin(rot[0])
+    z1 = d[1] * np.sin(rot[0]) + d[2] * np.cos(rot[0])
+    x1 = d[0]
+    x2 = x1 * np.cos(rot[1]) + z1 * np.sin(rot[1])
+    z2 = z1 * np.cos(rot[1]) - x1 * np.sin(rot[1])
+    x3 = x2 * np.cos(rot[2]) - y1 * np.sin(rot[2])
+    y3 = x2 * np.sin(rot[2]) + y1 * np.cos(rot[2])
+    return v3(F(x3), F(y3), F(z2))
+
+
+def uniform_circle_sampling(u1, u2, u3):
+    """Sampling.h:20-28 (triangle-profile radius quirk)."""
+    t = F(2.0) * PIF * u1
+    u = F(u2 + u3)
+    r = F(2.0) - u if u > F(1.0) else u
+    return F(r * np.cos(t)), F(r * np.sin(t))
+
+
+def camera_ray(cam, x_res, y_res, x, y, r1, r2, r3=F(0), r4=F(0), r5=F(0),
+               bokeh=False):
     pos = cam["position"]
     fx = F(x) / F(x_res)
     fy = F(y) / F(y_res)
@@ -94,16 +117,20 @@ def camera_ray(cam, x_res, y_res, x, y, r1, r2):
     ry = F(F(1.0) / F(y_res) * (r2 - F(0.5)) * cam["sensor_height"])
     sp = v3(odx + rx, ody + ry, F(pos[2] + cam["focal_length"]))
     rot = cam["rotation"] * (PIF / F(180.0))
-    d = sp - pos
-    # XYZ Euler (kernel.cpp:410-427).
-    y1 = d[1] * np.cos(rot[0]) - d[2] * np.sin(rot[0])
-    z1 = d[1] * np.sin(rot[0]) + d[2] * np.cos(rot[0])
-    x1 = d[0]
-    x2 = x1 * np.cos(rot[1]) + z1 * np.sin(rot[1])
-    z2 = z1 * np.cos(rot[1]) - x1 * np.sin(rot[1])
-    x3 = x2 * np.cos(rot[2]) - y1 * np.sin(rot[2])
-    y3 = x2 * np.sin(rot[2]) + y1 * np.cos(rot[2])
-    return pos.astype(F), normalize(v3(F(x3), F(y3), F(z2)))
+    o = pos.astype(F)
+    d = normalize(_rot_xyz(sp - pos, rot))
+    if not bokeh:
+        return o, d
+    # Thin-lens path (kernel.cpp:433-472): iris point in the lens plane,
+    # focus point along the UNperturbed ray at focus_distance+focal.
+    diameter = F(cam["focal_length"] / cam["aperture"])
+    l = F(cam["focus_distance"] + cam["focal_length"])
+    focus_point = o + d * l
+    ipx, ipy = uniform_circle_sampling(r3, r4, r5)
+    ip = _rot_xyz(v3(F(ipx * diameter * F(0.5)),
+                     F(ipy * diameter * F(0.5)), F(0.0)), rot)
+    new_o = o + ip
+    return new_o, normalize(focus_point - new_o)
 
 
 # --- intersection (Tri.h:41-144, brute force ascending) ---------------------
@@ -339,18 +366,101 @@ def env_pdf_corner(env, x, y):
                  / (F(2.0) * PIF * F(np.sin(theta))))
 
 
+# --- textures, scalar (Texture.cpp:172-236) ----------------------------------
+
+def _trunc_mod_abs(x, m):
+    """C++ ``x %= m; if (x < 0) x = -x`` (Texture.cpp:176-180)."""
+    return int(abs(x)) % int(m)
+
+
+def fetch_texel(atlas, tid, x, y):
+    """getValueFromCoordinates (Texture.cpp:172-200)."""
+    w = int(atlas["w"][tid])
+    h = int(atlas["h"][tid])
+    ch = int(atlas["ch"][tid])
+    x = _trunc_mod_abs(x, w)
+    y = _trunc_mod_abs(y, h)
+    row = atlas["data"][int(atlas["off"][tid]) + y * w + x]
+    c0 = F(row[0])
+    g = F(row[1]) if ch >= 2 else c0
+    b = F(row[2]) if ch >= 3 else (c0 if ch == 1 else F(0.0))
+    return v3(c0, g, b)
+
+
+def sample_nearest(atlas, tid, u, v):
+    """getValueFromUV (Texture.cpp:202-204): trunc toward zero."""
+    w = F(atlas["w"][tid])
+    h = F(atlas["h"][tid])
+    return fetch_texel(atlas, tid, int(np.trunc(u * w)), int(np.trunc(v * h)))
+
+
+def sample_bilinear(atlas, tid, u, v):
+    """getValueBilinear (Texture.cpp:206-227)."""
+    w = F(atlas["w"][tid])
+    h = F(atlas["h"][tid])
+    x = F(u * w)
+    y = F(v * h)
+    t1x = F(np.floor(x))
+    t1y = F(np.floor(y))
+    a = F(x - t1x)
+    b = F(y - t1y)
+    v1 = fetch_texel(atlas, tid, int(t1x), int(t1y))
+    v2 = fetch_texel(atlas, tid, int(t1x + 1), int(t1y))
+    v3_ = fetch_texel(atlas, tid, int(t1x), int(t1y + 1))
+    v4 = fetch_texel(atlas, tid, int(t1x + 1), int(t1y + 1))
+    return lerp(lerp(v1, v2, a), lerp(v3_, v4, a), b)
+
+
+def sample_filtered(atlas, tid, u, v):
+    """getValueFromUVFiltered (Texture.cpp:229-236)."""
+    if int(atlas["filter"][tid]) == 1:  # FILTER_BILINEAR
+        return sample_bilinear(atlas, tid, u, v)
+    return sample_nearest(atlas, tid, u, v)
+
+
 # --- the megakernel, scalar (kernel.cpp:477-646) -----------------------------
 
-def _hitdata(mats, mi, hit):
-    hd = {"albedo": mats["albedo"][mi].astype(F),
-          "emission": mats["emission"][mi].astype(F)}
-    for k in ("roughness", "metallic", "opacity", "transmission",
-              "clearcoat", "anisotropic", "eta", "specular", "subsurface",
+def _hitdata(mats, mi, hit, atlas=None):
+    """generateHitData (kernel.cpp:76-172): texture-or-constant per
+    channel, tangent-space normal map (nearest fetch, y flipped), ^2.2."""
+    tex = mats["tex"][mi] if atlas is not None else None
+    tu, tv = (hit["tu"], hit["tv"]) if atlas is not None else (F(0), F(0))
+
+    def rgb(slot, fallback):
+        if tex is None or tex[slot] < 0:
+            return fallback
+        return sample_filtered(atlas, int(tex[slot]), tu, tv)
+
+    def scalar(slot, fallback):
+        if tex is None or tex[slot] < 0:
+            return fallback
+        return F(sample_filtered(atlas, int(tex[slot]), tu, tv)[0])
+
+    # Slot order: MAP_SLOT_ORDER (scene/ir.py) = albedo, emission,
+    # roughness, metallic, normal, opacity, transmission.
+    hd = {"albedo": rgb(0, mats["albedo"][mi].astype(F)),
+          "emission": rgb(1, mats["emission"][mi].astype(F))}
+    hd["roughness"] = scalar(2, F(mats["roughness"][mi]))
+    hd["metallic"] = scalar(3, F(mats["metallic"][mi]))
+    hd["opacity"] = scalar(5, F(mats["opacity"][mi]))
+    hd["transmission"] = scalar(6, F(mats["transmission"][mi]))
+    for k in ("clearcoat", "anisotropic", "eta", "specular", "subsurface",
               "sheen"):
         hd[k] = F(mats[k][mi])
     hd["clearcoatGloss"] = F(mats["clearcoat_gloss"][mi])
     hd["specularTint"] = F(mats["specular_tint"][mi])
     hd["sheenTint"] = F(mats["sheen_tint"][mi])
+
+    # Normal mapping (kernel.cpp:135-149): nearest fetch, y flipped.
+    if tex is not None and tex[4] >= 0:
+        nc = sample_nearest(atlas, int(tex[4]), tu, tv)
+        ln = nc * F(2.0) - F(1.0)
+        hd["normal"] = normalize(ln[0] * hit["tangent"]
+                                 - ln[1] * hit["bitangent"]
+                                 + ln[2] * hit["normal"])
+    else:
+        hd["normal"] = hit["normal"]
+
     # ^2.2 quirk (kernel.cpp:151-153).
     hd["roughness"] = F(hd["roughness"] ** F(2.2))
     hd["metallic"] = F(hd["metallic"] ** F(2.2))
@@ -368,10 +478,13 @@ def render_pixel(ir_np, config, px, py, n_samples):
     acc = np.zeros(3, F)
     sample_count = 1  # setupKernel inits to 1 (kernel.cpp:202)
     out = []
+    atlas = ir_np.get("atlas")
+    bokeh = bool(getattr(config, "bokeh", False))
     for _ in range(n_samples):
         r1, r2 = rng.next(), rng.next()
-        rng.next(), rng.next(), rng.next()  # r3-r5 (bokeh draws, unused)
-        o, d = camera_ray(ir_np["camera"], x_res, y_res, px, py, r1, r2)
+        r3, r4, r5 = rng.next(), rng.next(), rng.next()
+        o, d = camera_ray(ir_np["camera"], x_res, y_res, px, py, r1, r2,
+                          r3, r4, r5, bokeh=bokeh)
         light = np.zeros(3, F)
         reduction = np.ones(3, F)
         for _b in range(config.max_bounces):
@@ -385,7 +498,8 @@ def render_pixel(ir_np, config, px, py, n_samples):
                    ("verts", "normals", "uvs", "tangents")}
             tri["sign"] = F(ir_np["sign"][hi])
             hit = full_hit(o, d, tri)
-            hd = _hitdata(ir_np["materials"], int(ir_np["mat"][hi]), hit)
+            hd = _hitdata(ir_np["materials"], int(ir_np["mat"][hi]), hit,
+                          atlas)
 
             r_op = rng.next()
             if r_op > hd["opacity"]:  # stochastic pass-through
@@ -395,7 +509,7 @@ def render_pixel(ir_np, config, px, py, n_samples):
             r_hdri = rng.next()
             rs1, rs2, rs3 = rng.next(), rng.next(), rng.next()
             wo = -d
-            n = hit["normal"]
+            n = hd["normal"]  # normal-mapped (kernel.cpp:528)
 
             # NEE (kernel.cpp:543-567), compat pdf quirks.
             env = ir_np["env"]
@@ -448,4 +562,5 @@ def ir_to_numpy(ir) -> dict:
                 "cdf": np.asarray(ir["env"]["cdf"], F),
                 "rsum": F(np.asarray(ir["env"]["rsum"]))},
         "camera": {k: np.asarray(v, F) for k, v in ir["camera"].items()},
+        "atlas": {k: np.asarray(v) for k, v in ir["atlas"].items()},
     }
