@@ -56,8 +56,11 @@ from jax.experimental.pallas import tpu as pltpu
 # Tile of rays traversed together: sublane x lane register shape.
 # SUB is the default; traverse_pallas takes ``sub`` to widen the tile —
 # a wider tile amortizes the scalar-driven walk over more rays per node
-# visit but descends into the union of its rays' nodes (see sweep_tile).
-SUB = 8
+# visit but descends into the union of its rays' nodes.  32 matches the
+# shipped RenderConfig.pallas_sub default (scripts/sweep_trav_kernels.py
+# measured 32 fastest at 66k tris, coherent and sorted-incoherent;
+# table in docs/PERF.md).
+SUB = 32
 LANE = 128
 TILE = SUB * LANE  # 1024
 
@@ -98,9 +101,11 @@ def _entry_scalars(row, e, lanes, use_roll: bool = True):
 
 def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, idx_out, t_out, *, depth, max_leaf,
-            stack_smem, tri_scratch=None, dma_sem=None, rows2=0):
+            stack_smem, tri_scratch=None, dma_sem=None, rows2=0,
+            counts_out=None):
     D = depth
     stream = tri_scratch is not None
+    count = counts_out is not None
 
     ox = ox_ref[...]
     oy = oy_ref[...]
@@ -211,7 +216,11 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         return ~state[0]
 
     def body(state):
-        done, node, ndep, sp, best_idx, best_t = state
+        if count:
+            (done, node, ndep, sp, best_idx, best_t,
+             visits, leafrows, dmas) = state
+        else:
+            done, node, ndep, sp, best_idx, best_t = state
         shift = jnp.int32(1) << (D - ndep)
         l_idx = node + 1
         r_idx = node + shift
@@ -226,6 +235,10 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         at_leaf_parent = ndep == D - 1
 
         def do_leaves(c):
+            if count:
+                best_idx, best_t, leafrows, dmas = c
+            else:
+                best_idx, best_t = c
             # Leaf from/to for both children in one fetch (parent-indexed
             # leaf table) — off the interior hot path entirely.
             lrow = _row_vec(leaf_ref, node >> 3)
@@ -244,17 +257,31 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                 dma.start()
                 dma.wait()
             # Right child first, then left (BVH.cpp:81-87).
-            c = jax.lax.cond(r_over,
-                             lambda c: leaf_scan(rf, rt, *c, base_row),
-                             lambda c: c, c)
-            c = jax.lax.cond(l_over,
-                             lambda c: leaf_scan(lf, lt, *c, base_row),
-                             lambda c: c, c)
-            return c
+            sc = jax.lax.cond(r_over,
+                              lambda c: leaf_scan(rf, rt, *c, base_row),
+                              lambda c: c, (best_idx, best_t))
+            sc = jax.lax.cond(l_over,
+                              lambda c: leaf_scan(lf, lt, *c, base_row),
+                              lambda c: c, sc)
+            if not count:
+                return sc
 
-        best_idx, best_t = jax.lax.cond(
+            def groups(f, t):
+                return jnp.where(t > f, ((t - 1) >> 3) - (f >> 3) + 1, 0)
+
+            leafrows = leafrows + jnp.where(l_over, groups(lf, lt), 0) \
+                + jnp.where(r_over, groups(rf, rt), 0)
+            return sc + (leafrows, dmas + 1)
+
+        leaf_carry = ((best_idx, best_t, leafrows, dmas) if count
+                      else (best_idx, best_t))
+        leaf_carry = jax.lax.cond(
             at_leaf_parent & (l_over | r_over), do_leaves, lambda c: c,
-            (best_idx, best_t))
+            leaf_carry)
+        if count:
+            best_idx, best_t, leafrows, dmas = leaf_carry
+        else:
+            best_idx, best_t = leaf_carry
 
         trav_l = l_over & ~at_leaf_parent
         trav_r = r_over & ~at_leaf_parent
@@ -283,6 +310,9 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                                    jnp.where(trav_r, r_idx, popped_node)))
         ndep = jnp.where(pop, popped_dep, ndep + 1)
         done = pop & (popped_node < 0)
+        if count:
+            return (done, node, ndep, sp_next, best_idx, best_t,
+                    visits + 1, leafrows, dmas)
         return done, node, ndep, sp_next, best_idx, best_t
 
     stack_smem[0, 0] = -1  # sentinel (transverse pushes invalid first)
@@ -290,18 +320,29 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
     init = (False, jnp.int32(0), jnp.int32(0), jnp.int32(1),
             jnp.full(ox.shape, -1, jnp.int32),
             jnp.full(ox.shape, jnp.inf, jnp.float32))
+    if count:
+        init = init + (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     out = jax.lax.while_loop(cond, body, init)
     idx_out[...] = out[4]
     t_out[...] = out[5]
+    if count:
+        # Per-tile counters, broadcast across the row (host reads lane 0):
+        # row 0 = node visits, 1 = leaf rows scanned, 2 = leaf-parent
+        # visits (== DMA bursts when streaming).
+        counts_out[...] = jnp.stack(
+            [jnp.full((LANE,), out[6], jnp.int32),
+             jnp.full((LANE,), out[7], jnp.int32),
+             jnp.full((LANE,), out[8], jnp.int32),
+             jnp.zeros((LANE,), jnp.int32)])
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "max_leaf",
                                              "interpret", "chunk", "stream",
-                                             "sub"))
+                                             "sub", "count_steps"))
 def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                     max_leaf: int, interpret: bool = False,
                     chunk: int = 512, stream: bool = False,
-                    sub: int = SUB):
+                    sub: int = SUB, count_steps: bool = False):
     """nodes/leaf/tris9: packed tables from pack_bvh_for_pallas (8
     entries per 128-lane row).  ray_o/ray_d: [N, 3] (unit directions).
     Returns (idx [N] i32 — leaf-order tri index, -1 on miss; t [N] f32).
@@ -317,8 +358,15 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
 
     ``sub``: tile sublanes — tile is sub*128 rays.  Wider tiles amortize
     the scalar-driven walk over more rays but visit the union of their
-    nodes; 8 measured best for coherent AND sorted-incoherent rays on
-    v5e (scripts/sweep_tile.py).
+    nodes.  32 measured best on v5e for coherent AND sorted-incoherent
+    rays (2.2x/2x over 8 — scripts/sweep_trav_kernels.py table in
+    docs/PERF.md; the earlier "8 best" claim here was an artifact of the
+    axon tunnel's first-timed-kernel transient, see PERF.md).
+
+    ``count_steps``: additionally return per-tile work counters
+    [NT, 3] i32 — (node visits, leaf rows scanned, leaf-parent visits
+    == DMA bursts when streaming) — the inputs to the roofline analysis
+    (scripts/roofline.py, docs/PERF.md "speed of light").
     """
     N = ray_o.shape[0]
     tile = sub * LANE
@@ -354,6 +402,22 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
         tris_spec = pl.BlockSpec(tris_shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
 
+    out_specs = [
+        pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((CHUNK, sub, LANE), jnp.int32),
+        jax.ShapeDtypeStruct((CHUNK, sub, LANE), jnp.float32),
+    ]
+    if count_steps:
+        out_specs.append(
+            pl.BlockSpec((1, 4, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((CHUNK, 4, LANE), jnp.int32))
+
     grid_spec = pl.GridSpec(
         grid=(CHUNK,),
         in_specs=[
@@ -370,20 +434,22 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                          memory_space=pltpu.VMEM)
             for _ in range(6)
         ],
-        out_specs=[
-            pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=scratch_shapes,
     )
 
     def kernel(nodes_ref, leaf_ref, tri_ref, *rest):
         refs = rest[:6]
-        idx_out, t_out, stack = rest[6], rest[7], rest[8]
-        tri_scratch = rest[9] if stream else None
-        dma_sem = rest[10] if stream else None
+        rest = rest[6:]
+        if count_steps:
+            idx_out, t_out, counts, stack = rest[:4]
+            rest = rest[4:]
+        else:
+            idx_out, t_out, stack = rest[:3]
+            counts = None
+            rest = rest[3:]
+        tri_scratch = rest[0] if stream else None
+        dma_sem = rest[1] if stream else None
         sq = [r[0] for r in refs]
 
         def squeeze_out(ref):
@@ -395,22 +461,24 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
         _kernel(nodes_ref, leaf_ref, tri_ref, *sq,
                 squeeze_out(idx_out), squeeze_out(t_out),
                 depth=depth, max_leaf=max_leaf, stack_smem=stack,
-                tri_scratch=tri_scratch, dma_sem=dma_sem, rows2=rows2)
+                tri_scratch=tri_scratch, dma_sem=dma_sem, rows2=rows2,
+                counts_out=squeeze_out(counts) if count_steps else None)
 
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((CHUNK, sub, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((CHUNK, sub, LANE), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )
 
     def one_chunk(chunk_comps):
         return call(nodes, leaf, tris9, *chunk_comps)
 
-    idx, t = jax.lax.map(one_chunk, tuple(comps))
+    outs = jax.lax.map(one_chunk, tuple(comps))
+    idx, t = outs[0], outs[1]
+    if count_steps:
+        counts = outs[2][:, :, :3, 0].reshape(-1, 3)  # [NT, 3]
+        return idx.reshape(-1)[:N], t.reshape(-1)[:N], counts
     return idx.reshape(-1)[:N], t.reshape(-1)[:N]
 
 

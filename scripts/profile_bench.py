@@ -63,9 +63,13 @@ bp = ir["bvh_packed"]
 
 @jax.jit
 def trav(o, d):
+    # sub MUST match the render path's config.pallas_sub — an earlier
+    # version used the kernel default and measured 3x off (docs/PERF.md
+    # "measurement notes").
     return traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"], o, d,
                            depth=config.bvh_depth,
-                           max_leaf=config.bvh_max_leaf, interpret=interp)
+                           max_leaf=config.bvh_max_leaf, interpret=interp,
+                           sub=config.pallas_sub)
 
 
 @jax.jit

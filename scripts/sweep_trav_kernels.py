@@ -68,10 +68,20 @@ bp = ir["bvh_packed"]
 bw = ir["bvh_wide"]
 
 
+_burned_in = False
+
+
 def bench(name, fn, o, d, ref_t=None):
-    i, t = fn(o, d)
+    # The axon tunnel's FIRST few kernel executions in a process run
+    # ~2.4x slow (docs/PERF.md "measurement notes"); burn the transient
+    # off on the first cell so it doesn't masquerade as a kernel result.
+    global _burned_in
+    warm = 1 if _burned_in else 4
+    _burned_in = True
+    for _ in range(warm):
+        i, t = fn(o, d)
+        float(jnp.sum(t.ravel()[:8]))
     i.block_until_ready()
-    float(jnp.sum(t.ravel()[:8]))
     t0 = time.time()
     for _ in range(REPS):
         i, t = fn(o, d)
