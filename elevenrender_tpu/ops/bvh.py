@@ -38,6 +38,9 @@ from .intersect import moller_trumbore
 
 SAH_BINS = 14  # Definitions.h:14
 MAX_DEPTH = 18  # Definitions.h:13
+# Deepest tree whose node+leaf tables fit the Pallas kernels' VMEM
+# budget (2^(D+8) B each — 8MB+8MB at 15); auto depth clamps here.
+STREAM_MAX_DEPTH = 15
 
 
 def _bounds_area(bmin, bmax):
@@ -48,16 +51,27 @@ def _bounds_area(bmin, bmax):
 
 
 def default_depth(tri_count: int) -> int:
-    """Adaptive depth targeting ~32 tris/leaf, clamped to [1, MAX_DEPTH].
+    """Adaptive depth targeting ~32 tris/leaf, clamped to
+    [1, STREAM_MAX_DEPTH].
 
     Leaf scans in the packet kernel are fully vectorized over the ray
     tile while interior steps are scalar-serial, so fat leaves win: a
     depth sweep on the 66k-tri bench scene measured the minimum at
     ~32 tris/leaf (2.2x faster than the 4 tris/leaf a CPU tracer
-    would pick)."""
+    would pick).
+
+    The upper clamp is STREAM_MAX_DEPTH (15), not the reference's 18
+    (Definitions.h:13): the Pallas kernels keep the node/leaf tables
+    VMEM-resident (2^(D+8) bytes — 8MB at 15), so auto mode grows
+    leaves past ~1M tris (mean 2^(log2(T)-15) tris/leaf) instead of
+    deepening into a depth the fast kernels cannot take.  Explicit
+    ``bvh_depth=`` still goes to MAX_DEPTH for reference-shape parity
+    (trace falls back to the jnp packet path above 15 — see
+    integrator._resolve_trace_mode)."""
     if tri_count <= 4:
         return 1
-    return int(np.clip(np.ceil(np.log2(tri_count / 32.0)), 1, MAX_DEPTH))
+    return int(np.clip(np.ceil(np.log2(tri_count / 32.0)), 1,
+                       STREAM_MAX_DEPTH))
 
 
 def preorder_indices(depth: int) -> list[np.ndarray]:

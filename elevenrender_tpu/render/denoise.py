@@ -3,9 +3,27 @@
 The reference wraps Intel OIDN's "RT" filter over the beauty pass
 (/root/reference/src/Managers.cpp:319-343, color-only, HDR, float4
 stride).  Per the project north star, the TPU build replaces it with a
-jitted JAX denoiser: an edge-preserving cross-bilateral filter guided by
-the normal AOV.  Same call shape (HDR float image in, denoised image out);
-runs on-chip, no host round-trip.
+jitted JAX denoiser; runs on-chip, no host round-trip.
+
+Pipeline (nlm_denoise, the default when guides are available):
+1. Firefly despeckle (neighborhood clamp — a patch filter preserves
+   outliers, so clamp first).
+2. **Noise-compensated non-local-means weights**: per-tap patch SSD
+   (3x3 box of the pointwise squared log-luminance difference) with the
+   measured noise floor subtracted and the bandwidth scaled by it
+   (Buades-style, the low-spp-robust form) — times normal AND albedo
+   edge-stop guides.
+
+Albedo DEMODULATION (OIDN's first move) was tried and measured WORSE on
+both test scenes (A/B in the r3 work log): our albedo AOV is a
+progressive per-pixel average, so pixels whose samples mix surfaces
+(lamp edge: albedo 0 emission hits + 0.73 wall hits) get a modulator
+that matches neither surface and the division manufactures energy
+errors the filter then spreads.  The albedo edge-stop GUIDE delivers
+the detail preservation without the division.
+
+Everything is shifts + elementwise math (jnp.roll unrolled over static
+taps): pure VPU work under jit, no gathers.
 """
 
 from __future__ import annotations
@@ -70,15 +88,84 @@ def bilateral_denoise(color, normal=None, albedo=None, radius: int = 3,
     return acc / jnp.maximum(wacc, 1e-8)
 
 
+def _box3(x):
+    """3x3 box filter via separable rolls (no gathers)."""
+    s = x + jnp.roll(x, 1, 0) + jnp.roll(x, -1, 0)
+    return (s + jnp.roll(s, 1, 1) + jnp.roll(s, -1, 1)) / 9.0
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def nlm_denoise(color, normal=None, albedo=None, radius: int = 4,
+                sigma_s: float = 3.0, sigma_p: float = 0.22,
+                sigma_n: float = 0.25, sigma_a: float = 0.15):
+    """Guided, noise-compensated non-local-means (module docstring).
+
+    color: [H, W, 3] HDR beauty; normal/albedo: optional [H, W, 3]
+    first-hit AOV guides.  Returns [H, W, 3].
+    """
+    irr = _despeckle(color)
+
+    # Patch distance works on compressed luminance: HDR outliers would
+    # otherwise dominate every patch they touch.
+    log_lum = jnp.log1p(jnp.max(irr, axis=-1, keepdims=True))
+
+    # Noise-compensated NL-means (Buades'05 as used by MC denoisers):
+    # for iid noise, E[(I(x)-I(x+d))^2] ~ 2*sigma_noise^2 + signal term;
+    # the median of unit-offset squared differences is a robust 2s^2
+    # estimate.  Subtract it from every patch SSD (else at low spp the
+    # noise floor swamps the distance and weights collapse to self) and
+    # scale the filter bandwidth h^2 with the same estimate so smoothing
+    # strength tracks spp automatically.
+    d2u = jnp.square(jnp.roll(log_lum, 1, 0) - log_lum)
+    d2l = jnp.square(jnp.roll(log_lum, 1, 1) - log_lum)
+    # Median over pixels that carry signal (a mostly-dark frame's global
+    # median is 0, which would disable the compensation).
+    lit = log_lum > 0.02
+    d2s = jnp.stack([d2u, d2l])
+    var2 = jnp.nanmedian(jnp.where(jnp.stack([lit, lit]), d2s, jnp.nan))
+    var2 = jnp.where(jnp.isnan(var2), 0.0, var2)  # fully-dark frame
+    h2 = jnp.maximum(2.0 * sigma_p * sigma_p, 1.5 * var2)
+
+    acc = jnp.zeros_like(irr)
+    wacc = jnp.zeros(irr.shape[:2] + (1,), irr.dtype)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            shifted = jnp.roll(irr, (dy, dx), axis=(0, 1))
+            ws = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma_s * sigma_s))
+            # NL-means tap weight: mean SSD over the 3x3 patch pair,
+            # noise floor removed.
+            d2 = jnp.square(jnp.roll(log_lum, (dy, dx), (0, 1)) - log_lum)
+            pd = jnp.maximum(_box3(d2) - var2, 0.0)
+            wgt = ws * jnp.exp(-pd / h2)
+            if normal is not None:
+                s_n = jnp.roll(normal, (dy, dx), axis=(0, 1))
+                nd = jnp.sum((s_n - normal) ** 2, axis=-1, keepdims=True)
+                wgt = wgt * jnp.exp(-nd / (2.0 * sigma_n * sigma_n))
+            if albedo is not None:
+                s_a = jnp.roll(albedo, (dy, dx), axis=(0, 1))
+                ad = jnp.sum((s_a - albedo) ** 2, axis=-1, keepdims=True)
+                wgt = wgt * jnp.exp(-ad / (2.0 * sigma_a * sigma_a))
+            acc = acc + shifted * wgt
+            wacc = wacc + wgt
+    return acc / jnp.maximum(wacc, 1e-8)
+
+
 def denoise(width: int, height: int, raw, normal=None, albedo=None):
-    """DenoiseManager::denoise-shaped entry: flat float4 [H*W*4] in/out."""
+    """DenoiseManager::denoise-shaped entry: flat float4 [H*W*4] in/out.
+
+    With guides: albedo-demodulated NL-means (nlm_denoise); without:
+    the color-only cross-bilateral (the reference's OIDN call is also
+    color-only, Managers.cpp:319-343)."""
     img = jnp.asarray(raw).reshape(height, width, 4)
 
     def guide(x):
         return (None if x is None
                 else jnp.asarray(x).reshape(height, width, 4)[:, :, :3])
 
-    out = bilateral_denoise(img[:, :, :3], guide(normal), guide(albedo))
+    if normal is not None or albedo is not None:
+        out = nlm_denoise(img[:, :, :3], guide(normal), guide(albedo))
+    else:
+        out = bilateral_denoise(img[:, :, :3])
     res = jnp.concatenate([out, jnp.ones((height, width, 1), out.dtype)],
                           axis=-1)
     return res.reshape(-1)

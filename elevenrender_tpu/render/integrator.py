@@ -84,6 +84,15 @@ def _resolve_trace_mode(config, ir) -> str:
         elif config.bvh_depth <= 15:  # node tables 2^(D+8) B <= 8MB VMEM
             mode = "pallas_stream"  # tris DMA-streamed from HBM
         else:
+            # Only reachable with an EXPLICIT bvh_depth > 15 (auto depth
+            # clamps at STREAM_MAX_DEPTH, ops/bvh.default_depth); the
+            # jnp packet path is ~10x the Pallas kernel — say so.
+            from ..utils.logging import get_logger
+            get_logger().warning(
+                "bvh_depth=%d exceeds the Pallas VMEM ceiling (15): "
+                "falling back to the slow jnp packet traversal; rebuild "
+                "with depth<=15 (auto) for the fast path",
+                config.bvh_depth)
             mode = "packet"
     return mode
 

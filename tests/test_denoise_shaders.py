@@ -80,10 +80,11 @@ def test_placeholder_shader_is_yellow():
 
 
 def test_denoise_reduces_error_vs_converged():
-    """Quality gate (VERDICT r1 item 9): on a noisy low-spp Cornell
-    render, the guided denoiser must cut MSE against a converged render
-    by at least 2x (the OIDN bar the reference wraps,
-    Managers.cpp:319-343)."""
+    """Quality gate (VERDICT r1 item 9, tightened r2->r3): on a noisy
+    low-spp Cornell render, the guided denoiser must cut MSE against a
+    converged render to under 0.35x (measured 0.24x; the r2 bilateral
+    managed 0.28x and gated at 0.5x) — the OIDN bar the reference wraps,
+    Managers.cpp:319-343."""
     from elevenrender_tpu.render.integrator import (init_state,
                                                     render_samples_jit)
 
@@ -100,10 +101,18 @@ def test_denoise_reduces_error_vs_converged():
     albedo = np.asarray(noisy_state["passes"][1]).reshape(res, res, 4)
 
     from elevenrender_tpu.render import denoise as dn
-    den = np.asarray(dn.bilateral_denoise(
+    den = np.asarray(dn.nlm_denoise(
         jnp.asarray(noisy), jnp.asarray(normal[..., :3]),
         jnp.asarray(albedo[..., :3])))
 
     mse_noisy = float(np.mean((noisy - ref) ** 2))
     mse_den = float(np.mean((den - ref) ** 2))
-    assert mse_den < 0.5 * mse_noisy, (mse_den, mse_noisy)
+    assert mse_den < 0.35 * mse_noisy, (mse_den, mse_noisy)
+
+    # The r2 cross-bilateral must not beat the shipped filter — if it
+    # does, the default regressed.
+    bil = np.asarray(dn.bilateral_denoise(
+        jnp.asarray(noisy), jnp.asarray(normal[..., :3]),
+        jnp.asarray(albedo[..., :3])))
+    mse_bil = float(np.mean((bil - ref) ** 2))
+    assert mse_den < mse_bil * 1.05, (mse_den, mse_bil)
