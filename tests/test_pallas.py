@@ -150,3 +150,37 @@ def test_wide_tile_widths_agree():
         else:
             np.testing.assert_array_equal(np.asarray(wi), ref[0])
             np.testing.assert_array_equal(np.asarray(wt), ref[1])
+
+
+def test_count_steps_counters():
+    """count_steps (the roofline instrumentation, scripts/roofline.py)
+    must not perturb results, and its counters must satisfy the walk's
+    invariants: leaf-parent visits <= node visits, leaf rows >= 0, and
+    streaming reports the same counts as VMEM residency."""
+    tris, o, d = random_scene(400, 2000, seed=11)
+    bvh = build_bvh(tris)
+    st = tris[bvh["perm"]]
+    nodes, leaf, tris9 = pack_bvh_for_pallas(bvh, st)
+
+    i0, t0 = traverse_pallas(nodes, leaf, tris9, o, d, depth=bvh["depth"],
+                             max_leaf=bvh["max_leaf"], interpret=True, sub=8)
+    i1, t1, c = traverse_pallas(nodes, leaf, tris9, o, d,
+                                depth=bvh["depth"],
+                                max_leaf=bvh["max_leaf"], interpret=True,
+                                sub=8, count_steps=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+    c = np.asarray(c)
+    assert c.shape[1] == 3 and (c >= 0).all()
+    visits, leafrows, leafparents = c[:, 0], c[:, 1], c[:, 2]
+    assert (visits >= 1).all()
+    assert (leafparents <= visits).all()
+    # Each counted leaf-parent visit scans at least one row per
+    # overlapping child.
+    assert (leafrows >= leafparents).all()
+
+    _, _, c2 = traverse_pallas(nodes, leaf, tris9, o, d, depth=bvh["depth"],
+                               max_leaf=bvh["max_leaf"], interpret=True,
+                               sub=8, stream=True, count_steps=True)
+    np.testing.assert_array_equal(c, np.asarray(c2))
