@@ -180,3 +180,49 @@ def test_shard_map_render_matches_single_device():
     out = step(ir_r, st)
     np.testing.assert_allclose(np.asarray(out["passes"]), ref_img,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_albedo_gradient_matches_finite_differences():
+    """AD gradients must MATCH central finite differences, not just have
+    the right sign (BASELINE.json: "pixel-grad allclose").  With the RNG
+    stream fixed, the estimator is a deterministic function of albedo;
+    discrete decisions (hit ids, opacity coin flips) are detached /
+    unchanged under a small albedo bump, so the map is smooth and FD is
+    exact to O(eps^2)."""
+    from elevenrender_tpu.render.grad import render_loss_and_grad
+    config, ir = small_config()
+    params = {"materials": float_subtree(ir["materials"])}
+    state = init_state(config)
+    img = np.asarray(render_sample_jit(config, ir, state)[
+        "passes"][BEAUTY, :, :3])
+    target = jnp.asarray(img * 1.4 + 0.05)
+
+    loss0, grads = render_loss_and_grad(config, ir, params, target, 1)
+    g = np.asarray(grads["materials"]["albedo"])
+
+    def loss_at(albedo):
+        p2 = {"materials": {**params["materials"], "albedo": albedo}}
+        l, _ = render_loss_and_grad(config, ir, p2, target, 1)
+        return float(l)
+
+    eps = 1e-3
+    base = params["materials"]["albedo"]
+    # Spot-check 4 coordinates across materials/channels, including the
+    # largest-gradient one.
+    flat = np.abs(g).ravel()
+    coords = {int(flat.argmax())} | {0, g.shape[1] + 1, 2 * g.shape[1] + 2}
+    checked = 0
+    for c in coords:
+        m, ch = divmod(c, g.shape[1])
+        if m >= g.shape[0]:
+            continue
+        lp = loss_at(base.at[m, ch].add(eps))
+        lm = loss_at(base.at[m, ch].add(-eps))
+        fd = (lp - lm) / (2 * eps)
+        # atol floor = the FD quantization limit: the float32 loss
+        # (~4.0, ULP ~2.4e-7) divided by 2*eps gives ~1.2e-4 of noise on
+        # small-gradient coordinates.
+        np.testing.assert_allclose(g[m, ch], fd, rtol=5e-3, atol=2e-4,
+                                   err_msg=f"albedo[{m},{ch}]")
+        checked += 1
+    assert checked >= 3
