@@ -102,10 +102,11 @@ def _entry_scalars(row, e, lanes, use_roll: bool = True):
 def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, idx_out, t_out, *, depth, max_leaf,
             stack_smem, tri_scratch=None, dma_sem=None, rows2=0,
-            counts_out=None):
+            counts_out=None, order="near"):
     D = depth
     stream = tri_scratch is not None
     count = counts_out is not None
+    sign_order = order == "sign"
 
     ox = ox_ref[...]
     oy = oy_ref[...]
@@ -116,6 +117,13 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
     inv_x = 1.0 / dx
     inv_y = 1.0 / dy
     inv_z = 1.0 / dz
+    if sign_order:
+        # Tile direction signs, ONCE per tile: order="sign" replaces the
+        # per-visit min(near) horizontal reduction with a scalar select
+        # against these three booleans (the classic packet-tracing
+        # sign-ordering heuristic; result identical up to equal-t ties,
+        # only visit ORDER/count changes).
+        sgn = (jnp.sum(dx) >= 0.0, jnp.sum(dy) >= 0.0, jnp.sum(dz) >= 0.0)
 
     def aabb_any(box, best_t):
         """Slab test of the whole tile against one box (6 scalars).
@@ -141,6 +149,10 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         tmin = mx(mx(mn(t1, t2), mn(t3, t4)), mn(t5, t6))
         tmax = mn(mn(mx(t1, t2), mx(t3, t4)), mx(t5, t6))
         hit = ~((tmax < 0.0) | (tmin > tmax)) & (tmin < best_t)
+        if sign_order:
+            # Ordering comes from the packed sign code — skip the near
+            # min entirely (one fewer horizontal reduction per visit).
+            return jnp.any(hit), None
         # Keep any(hit) as its own predicate reduction: deriving it from
         # the float near-min (near < inf) measured 3x SLOWER at sub=8 —
         # the min lands on the critical scalar path, whereas Mosaic
@@ -226,9 +238,10 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         r_idx = node + shift
 
         # ONE row fetch + ONE dynamic rotate yields BOTH children's boxes
-        # (parent-indexed packing: 12 floats/entry).
+        # (parent-indexed packing: 12 floats/entry, +1 ordering code).
         row = _row_vec(nodes_ref, node >> 3)
-        f = _entry_scalars(row, node & 7, range(12))
+        f = _entry_scalars(row, node & 7,
+                           range(13) if sign_order else range(12))
         l_over, l_near = aabb_any(f[0:6], best_t)
         r_over, r_near = aabb_any(f[6:12], best_t)
 
@@ -291,7 +304,15 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         # Near child first when descending both: the near subtree tightens
         # best_t so the far one (often) prunes away on pop.  Result is
         # unchanged (strict-'<' nearest); only visit order/count differ.
-        l_first = l_near <= r_near
+        if sign_order:
+            code = f[12]
+            left_pos = code >= 3.0
+            ax = code - jnp.where(left_pos, 3.0, 0.0)
+            pos_dir = jnp.where(ax < 0.5, sgn[0],
+                                jnp.where(ax < 1.5, sgn[1], sgn[2]))
+            l_first = pos_dir != left_pos
+        else:
+            l_first = l_near <= r_near
         first_idx = jnp.where(l_first, l_idx, r_idx)
         second_idx = jnp.where(l_first, r_idx, l_idx)
 
@@ -338,11 +359,12 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
 @functools.partial(jax.jit, static_argnames=("depth", "max_leaf",
                                              "interpret", "chunk", "stream",
-                                             "sub", "count_steps"))
+                                             "sub", "count_steps", "order"))
 def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                     max_leaf: int, interpret: bool = False,
                     chunk: int = 512, stream: bool = False,
-                    sub: int = SUB, count_steps: bool = False):
+                    sub: int = SUB, count_steps: bool = False,
+                    order: str = "near"):
     """nodes/leaf/tris9: packed tables from pack_bvh_for_pallas (8
     entries per 128-lane row).  ray_o/ray_d: [N, 3] (unit directions).
     Returns (idx [N] i32 — leaf-order tri index, -1 on miss; t [N] f32).
@@ -367,6 +389,12 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
     [NT, 3] i32 — (node visits, leaf rows scanned, leaf-parent visits
     == DMA bursts when streaming) — the inputs to the roofline analysis
     (scripts/roofline.py, docs/PERF.md "speed of light").
+
+    ``order``: child descent order when both overlap.  "near" = min
+    entry distance (one extra horizontal reduction per visit); "sign" =
+    the packed split-axis code against precomputed tile direction signs
+    (pure scalar select).  Hit results identical up to equal-t ties;
+    visit counts and cost differ.
     """
     N = ray_o.shape[0]
     tile = sub * LANE
@@ -462,7 +490,8 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                 squeeze_out(idx_out), squeeze_out(t_out),
                 depth=depth, max_leaf=max_leaf, stack_smem=stack,
                 tri_scratch=tri_scratch, dma_sem=dma_sem, rows2=rows2,
-                counts_out=squeeze_out(counts) if count_steps else None)
+                counts_out=squeeze_out(counts) if count_steps else None,
+                order=order)
 
     call = pl.pallas_call(
         kernel,
@@ -517,6 +546,16 @@ def pack_bvh_for_pallas(bvh: dict, tri_verts_sorted) -> tuple:
             nodes[pr, pb + 3 + c] = bvh["node_bmax"][l, c]
             nodes[pr, pb + 6 + c] = bvh["node_bmin"][r, c]
             nodes[pr, pb + 9 + c] = bvh["node_bmax"][r, c]
+        # Lane 12 (spare): child-ordering code for order="sign" —
+        # axis of largest child-center separation (the effective split
+        # axis, derived from the boxes so both builders work) + 3 if
+        # the LEFT child sits on the POSITIVE side of it.
+        c_l = (bvh["node_bmin"][l] + bvh["node_bmax"][l]) * 0.5
+        c_r = (bvh["node_bmin"][r] + bvh["node_bmax"][r]) * 0.5
+        diff = c_r - c_l  # [n, 3]
+        ax = np.argmax(np.abs(diff), axis=1)
+        left_pos = diff[np.arange(len(ax)), ax] < 0.0
+        nodes[pr, pb + 12] = (ax + 3 * left_pos).astype(np.float32)
         if d == D - 1:
             leaf[pr, pb + 0] = bvh["node_from"][l]
             leaf[pr, pb + 1] = bvh["node_to"][l]

@@ -166,7 +166,8 @@ def _trace(config, ir, ray_o, ray_d, mask=None, perm=None):
                                  max_leaf=config.bvh_max_leaf,
                                  interpret=jax.default_backend() == "cpu",
                                  stream=mode == "pallas_stream",
-                                 sub=config.pallas_sub)
+                                 sub=config.pallas_sub,
+                                 order=config.trace_order)
     elif mode in ("pallas_wide", "pallas_wide_stream"):
         from ..ops.bvh_wide import traverse_wide
         bw = ir["bvh_wide"]

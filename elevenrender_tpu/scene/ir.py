@@ -70,6 +70,11 @@ class RenderConfig:
     # by 2.2-7x on coherent AND sorted-incoherent rays
     # (scripts/sweep_tile.py, docs/PERF.md).
     pallas_sub: int = 32
+    # Child descent order in the Pallas walk: "near" = per-visit min
+    # entry distance; "sign" = packed split-axis vs tile direction signs
+    # (drops one horizontal reduction per interior visit — A/B knob, see
+    # ops/bvh_pallas.traverse_pallas).
+    trace_order: str = "near"
     # Morton-sort rays before packet/pallas traversal (ops/sort.py) so
     # tiles stay spatially compact; essential for secondary/shadow rays.
     sort_rays: bool = True
