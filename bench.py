@@ -59,6 +59,9 @@ def main():
 
     scene, config, ir = heightfield_scene(grid=grid, res=res, spp=spp,
                                           compat=False)
+    order = os.environ.get("BENCH_ORDER")
+    if order:  # A/B knob: near (default) vs sign child ordering
+        config = config.replace(trace_order=order)
 
     def sync(state):
         return float(jnp.sum(state["samples"]))

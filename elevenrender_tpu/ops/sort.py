@@ -28,9 +28,19 @@ def _expand_bits10(v):
     return v
 
 
-def morton_key(origin, direction, bounds_min, bounds_max):
-    """30-bit Morton code of the origin (scene-normalized) with the
-    3-bit direction octant in the low bits -> uint32 sort key."""
+def morton_key(origin, direction, bounds_min, bounds_max,
+               dir_major: bool = False):
+    """30-bit Morton code of the origin (scene-normalized) combined with
+    the 3-bit direction octant -> uint32 sort key.
+
+    ``dir_major=False`` (default): position-major — ``Morton << 3 |
+    octant``; tiles are spatially compact with mixed directions.
+    ``dir_major=True``: octant-major — ``octant << 30 | Morton``; rays
+    split into 8 pure-direction classes first, so every tile is
+    single-octant (tighter slab unions; the walk's sign ordering is then
+    exact per tile) at the cost of splitting spatial clusters that
+    straddle octants.  A/B knob (RenderConfig.sort_dir_major).
+    """
     ext = jnp.maximum(bounds_max - bounds_min, 1e-12)
     q = jnp.clip((origin - bounds_min) / ext, 0.0, 1.0)
     qi = (q * 1023.0).astype(jnp.uint32)
@@ -40,10 +50,13 @@ def morton_key(origin, direction, bounds_min, bounds_max):
     octant = ((direction[..., 0] > 0).astype(jnp.uint32)
               | ((direction[..., 1] > 0).astype(jnp.uint32) << jnp.uint32(1))
               | ((direction[..., 2] > 0).astype(jnp.uint32) << jnp.uint32(2)))
+    if dir_major:
+        return (octant << jnp.uint32(30)) | code
     return (code << jnp.uint32(3)) | octant
 
 
-def sort_for_packets(origin, direction, bounds_min, bounds_max, mask=None):
+def sort_for_packets(origin, direction, bounds_min, bounds_max, mask=None,
+                     dir_major: bool = False):
     """Returns (order, inverse) permutations: ``origin[order]`` is
     packet-coherent; scatter results back with ``result[inverse]``.
 
@@ -51,7 +64,8 @@ def sort_for_packets(origin, direction, bounds_min, bounds_max, mask=None):
     key so they pack into the TAIL tiles — combined with the instant-miss
     ray substitution in the integrator's _trace, those tiles terminate at
     the root, so dead rays cost ~nothing instead of a full walk."""
-    key = morton_key(origin, direction, bounds_min, bounds_max)
+    key = morton_key(origin, direction, bounds_min, bounds_max,
+                     dir_major=dir_major)
     if mask is not None:
         key = jnp.where(mask, key, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key)

@@ -78,6 +78,10 @@ class RenderConfig:
     # Morton-sort rays before packet/pallas traversal (ops/sort.py) so
     # tiles stay spatially compact; essential for secondary/shadow rays.
     sort_rays: bool = True
+    # Sort-key layout: False = position-major Morton with octant low
+    # bits; True = octant-major (pure-direction tiles) — A/B knob, see
+    # ops/sort.morton_key.
+    sort_dir_major: bool = False
     # Static shading facts (computed by build_ir from the host scene so
     # XLA compiles away unused fetch paths — see _generate_hitdata):
     # which of the 7 map slots any material actually binds, whether all

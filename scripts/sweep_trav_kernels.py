@@ -100,21 +100,24 @@ for label, o, d in (("coherent", ray_o, ray_d),
                     ("sorted-incoherent", ray_o_inc, ray_d_inc)):
     ref_t = None
     for sub in SUBS:
-        def fb(o, d, sub=sub):
-            return traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"], o, d,
-                                   depth=config.bvh_depth,
-                                   max_leaf=config.bvh_max_leaf,
-                                   interpret=interp, stream=stream, sub=sub)
-
         def fw(o, d, sub=sub):
             return traverse_wide(bw["nodes"], bw["leaf"], bp["tris9"], o, d,
                                  depth=config.bvh_depth,
                                  max_leaf=config.bvh_max_leaf,
                                  interpret=interp, stream=stream, sub=sub)
 
-        t = bench(f"binary{' stream' if stream else ''} sub={sub} {label}",
-                  fb, o, d, ref_t)
-        if ref_t is None:
-            ref_t = t
-        bench(f"wide{' stream' if stream else ''}   sub={sub} {label}",
-              fw, o, d, ref_t)
+        for ordr in os.environ.get("ORDERS", "near,sign").split(","):
+            def fb(o, d, sub=sub, ordr=ordr):
+                return traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
+                                       o, d, depth=config.bvh_depth,
+                                       max_leaf=config.bvh_max_leaf,
+                                       interpret=interp, stream=stream,
+                                       sub=sub, order=ordr)
+
+            t = bench(f"binary/{ordr}{' stream' if stream else ''} "
+                      f"sub={sub} {label}", fb, o, d, ref_t)
+            if ref_t is None:
+                ref_t = t
+        if os.environ.get("WIDE", "1") != "0":
+            bench(f"wide{' stream' if stream else ''}   sub={sub} {label}",
+                  fw, o, d, ref_t)
