@@ -107,6 +107,10 @@ t_st = timeit("sort + traverse 1M shuffled", sort_then_trav, ray_o_inc, ray_d_in
 t_sort = timeit("morton sort 1M", srt, ray_o_inc, ray_d_inc)
 
 n_trace = 2 * config.max_bounces
-print(f"\nfull step = {t_full*1e3:.1f} ms; {n_trace} traces/step")
-print(f"  if all traces cost sort+coherent: {(t_sort + t_trav)*n_trace*1e3:.1f} ms")
-print(f"  residual (shading etc): {(t_full - n_trace*(t_sort+t_trav))*1e3:.1f} ms")
+n_sort = config.max_bounces  # ONE sort per bounce since r3 (2f878f1)
+print(f"\nfull step = {t_full*1e3:.1f} ms; {n_trace} traces + "
+      f"{n_sort} sorts/step")
+model = n_trace * t_trav + n_sort * t_sort
+print(f"  if traces cost coherent + {n_sort} sorts: {model*1e3:.1f} ms")
+print(f"  residual (incoherence premium + shading): "
+      f"{(t_full - model)*1e3:.1f} ms")
