@@ -62,6 +62,8 @@ def main():
     order = os.environ.get("BENCH_ORDER")
     if order:  # A/B knob: near (default) vs sign child ordering
         config = config.replace(trace_order=order)
+    if os.environ.get("BENCH_DIRMAJOR"):  # A/B knob: octant-major sort
+        config = config.replace(sort_dir_major=True)
 
     def sync(state):
         return float(jnp.sum(state["samples"]))

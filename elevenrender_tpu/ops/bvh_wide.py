@@ -66,7 +66,9 @@ def wide_levels(depth: int) -> list[int]:
 
 def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, idx_out, t_out, *, depth, max_leaf,
-            stack_smem, tri_scratch=None, dma_sem=None, rows8=0):
+            stack_smem, tri_scratch=None, dma_sem=None, rows8=0,
+            counts_out=None):
+    count = counts_out is not None
     D = depth
     d_list = wide_levels(D)
     M = len(d_list)
@@ -176,7 +178,10 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         return ~state[0]
 
     def body(state):
-        done, k, i, sp, best_idx, best_t = state
+        if count:
+            done, k, i, sp, best_idx, best_t, visits, leafrows, dmas = state
+        else:
+            done, k, i, sp, best_idx, best_t = state
         row = nodes_ref[pl.ds(row_offset(k) + i, 1), :]
 
         hits = []
@@ -192,6 +197,10 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         is_last = k == M - 1
 
         def do_leaves(c):
+            if count:
+                best_idx, best_t, leafrows, dmas = c
+            else:
+                best_idx, best_t = c
             lrow = leaf_ref[pl.ds(i, 1), :]
             frms = [lrow[0, e * ENTRY_LANES + 0] for e in range(WIDE)]
             tos = [lrow[0, e * ENTRY_LANES + 1] for e in range(WIDE)]
@@ -207,17 +216,33 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                     tri_scratch, dma_sem)
                 dma.start()
                 dma.wait()
+            sc = (best_idx, best_t)
             for e in range(WIDE):
-                c = jax.lax.cond(
+                sc = jax.lax.cond(
                     hits[e],
                     (lambda c, e=e: leaf_scan(frms[e], tos[e], *c,
                                               base_row)),
-                    lambda c: c, c)
-            return c
+                    lambda c: c, sc)
+            if not count:
+                return sc
 
-        best_idx, best_t = jax.lax.cond(
+            def groups(f, t):
+                return jnp.where(t > f, ((t - 1) >> 3) - (f >> 3) + 1, 0)
+
+            for e in range(WIDE):
+                leafrows = leafrows + jnp.where(hits[e],
+                                                groups(frms[e], tos[e]), 0)
+            return sc + (leafrows, dmas + 1)
+
+        leaf_carry = ((best_idx, best_t, leafrows, dmas) if count
+                      else (best_idx, best_t))
+        leaf_carry = jax.lax.cond(
             is_last & functools.reduce(jnp.logical_or, hits),
-            do_leaves, lambda c: c, (best_idx, best_t))
+            do_leaves, lambda c: c, leaf_carry)
+        if count:
+            best_idx, best_t, leafrows, dmas = leaf_carry
+        else:
+            best_idx, best_t = leaf_carry
 
         # Interior: descend into the nearest overlapping child, push the
         # rest (fixed order).  Masked nears are +inf, so argmin lands on
@@ -250,6 +275,9 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         k = jnp.where(pop, popped_k, k + 1)
         i = jnp.where(pop, popped_i, child_base + e_star)
         done = pop & (popped_k < 0)
+        if count:
+            return (done, k, i, sp, best_idx, best_t,
+                    visits + 1, leafrows, dmas)
         return done, k, i, sp, best_idx, best_t
 
     stack_smem[0, 0] = -1  # sentinel
@@ -257,21 +285,31 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
     init = (False, jnp.int32(0), jnp.int32(0), jnp.int32(1),
             jnp.full(ox.shape, -1, jnp.int32),
             jnp.full(ox.shape, jnp.inf, jnp.float32))
+    if count:
+        init = init + (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     out = jax.lax.while_loop(cond, body, init)
     idx_out[...] = out[4]
     t_out[...] = out[5]
+    if count:
+        counts_out[...] = jnp.stack(
+            [jnp.full((LANE,), out[6], jnp.int32),
+             jnp.full((LANE,), out[7], jnp.int32),
+             jnp.full((LANE,), out[8], jnp.int32),
+             jnp.zeros((LANE,), jnp.int32)])
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "max_leaf",
                                              "interpret", "chunk", "stream",
-                                             "sub"))
+                                             "sub", "count_steps"))
 def traverse_wide(nodes8, leaf8, tris9, ray_o, ray_d, depth: int,
                   max_leaf: int, interpret: bool = False,
-                  chunk: int = 512, stream: bool = False, sub: int = 8):
+                  chunk: int = 512, stream: bool = False, sub: int = 8,
+                  count_steps: bool = False):
     """8-wide packet traversal.  nodes8/leaf8 from pack_bvh_wide; tris9
     is the SAME table as the binary kernel's (pack_bvh_for_pallas).
     Returns (idx [N] i32 leaf-order tri index, -1 on miss; t [N] f32).
-    Args as traverse_pallas (ops/bvh_pallas.py)."""
+    Args as traverse_pallas (ops/bvh_pallas.py); count_steps returns the
+    same [NT, 3] (visits, leaf rows, leaf-node visits) counters."""
     N = ray_o.shape[0]
     tile = sub * LANE
     CHUNK = min(chunk, max(-(-N // tile), 1))
@@ -306,6 +344,21 @@ def traverse_wide(nodes8, leaf8, tris9, ray_o, ray_d, depth: int,
         tris_spec = pl.BlockSpec(tris9.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
 
+    out_specs = [
+        pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((CHUNK, sub, LANE), jnp.int32),
+        jax.ShapeDtypeStruct((CHUNK, sub, LANE), jnp.float32),
+    ]
+    if count_steps:
+        out_specs.append(pl.BlockSpec((1, 4, LANE), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((CHUNK, 4, LANE), jnp.int32))
+
     grid_spec = pl.GridSpec(
         grid=(CHUNK,),
         in_specs=[
@@ -319,20 +372,22 @@ def traverse_wide(nodes8, leaf8, tris9, ray_o, ray_d, depth: int,
                          memory_space=pltpu.VMEM)
             for _ in range(6)
         ],
-        out_specs=[
-            pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=scratch_shapes,
     )
 
     def kernel(nodes_ref, leaf_ref, tri_ref, *rest):
         refs = rest[:6]
-        idx_out, t_out, stack = rest[6], rest[7], rest[8]
-        tri_scratch = rest[9] if stream else None
-        dma_sem = rest[10] if stream else None
+        rest = rest[6:]
+        if count_steps:
+            idx_out, t_out, counts, stack = rest[:4]
+            rest = rest[4:]
+        else:
+            idx_out, t_out, stack = rest[:3]
+            counts = None
+            rest = rest[3:]
+        tri_scratch = rest[0] if stream else None
+        dma_sem = rest[1] if stream else None
         sq = [r[0] for r in refs]
 
         def squeeze_out(ref):
@@ -344,22 +399,24 @@ def traverse_wide(nodes8, leaf8, tris9, ray_o, ray_d, depth: int,
         _kernel(nodes_ref, leaf_ref, tri_ref, *sq,
                 squeeze_out(idx_out), squeeze_out(t_out),
                 depth=depth, max_leaf=max_leaf, stack_smem=stack,
-                tri_scratch=tri_scratch, dma_sem=dma_sem, rows8=rows8)
+                tri_scratch=tri_scratch, dma_sem=dma_sem, rows8=rows8,
+                counts_out=squeeze_out(counts) if count_steps else None)
 
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((CHUNK, sub, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((CHUNK, sub, LANE), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )
 
     def one_chunk(chunk_comps):
         return call(nodes8, leaf8, tris9, *chunk_comps)
 
-    idx, t = jax.lax.map(one_chunk, tuple(comps))
+    outs = jax.lax.map(one_chunk, tuple(comps))
+    idx, t = outs[0], outs[1]
+    if count_steps:
+        counts = outs[2][:, :, :3, 0].reshape(-1, 3)
+        return idx.reshape(-1)[:N], t.reshape(-1)[:N], counts
     return idx.reshape(-1)[:N], t.reshape(-1)[:N]
 
 

@@ -94,6 +94,11 @@ def _resolve_trace_mode(config, ir) -> str:
                 "with depth<=15 (auto) for the fast path",
                 config.bvh_depth)
             mode = "packet"
+    if mode in ("pallas_wide", "pallas_wide_stream") \
+            and ir.get("bvh_wide") is None:
+        # The 8-wide collapse needs depth >= 3 (ops/bvh_wide.wide_levels);
+        # shallow trees fall back to the binary kernel.
+        mode = "pallas" if mode == "pallas_wide" else "pallas_stream"
     return mode
 
 
