@@ -85,8 +85,37 @@ def fwd_bwd_step(config, ir, target, n_samples: int = 1):
     return render_loss_and_grad(config, ir, params, target, n_samples)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
-def render_loss_and_grad_accum(config, ir, params, target, n_samples: int):
+@functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=2)
+def _accum_fwd_chunk(config, merged_ir, state, n: int):
+    """n forward samples in one executable (pass 1 unit)."""
+    def body(s, st):
+        return render_sample(config, merged_ir, st)
+    return jax.lax.fori_loop(0, n, body, state)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def _accum_bwd_chunk(config, ir, params, seed, rng, n: int):
+    """n per-sample VJP accumulations in one executable (pass 2 unit)."""
+    npix = seed.shape[0]
+
+    def body(i, carry):
+        grads, rng = carry
+
+        def f(p):
+            out, rng2 = sample_radiance(config, _merge(ir, p), rng, npix)
+            return out["light"], (out["ok"], rng2)
+
+        light, vjp, (ok, rng2) = jax.vjp(f, params, has_aux=True)
+        (g,) = vjp(seed * ok[:, None])
+        grads = jax.tree.map(jnp.add, grads, g)
+        return grads, rng2
+
+    grads0 = jax.tree.map(jnp.zeros_like, params)
+    return jax.lax.fori_loop(0, n, body, (grads0, rng))
+
+
+def render_loss_and_grad_accum(config, ir, params, target, n_samples: int,
+                               chunk: int = 8):
     """Flat-memory n-sample gradient: the two-pass estimator.
 
     Differentiating render_loss_and_grad at the BASELINE shape (1024²,
@@ -103,38 +132,42 @@ def render_loss_and_grad_accum(config, ir, params, target, n_samples: int):
     1-spp backward pass regardless of n_samples.  This is the
     radiative-backprop two-pass structure expressed through XLA autodiff.
 
+    ``chunk``: samples per EXECUTABLE.  Both passes are driven by a host
+    loop over jitted chunk programs instead of one 64-sample executable:
+    a single monolithic program packs ~20 Pallas launches per sample ×
+    n_samples and its first real-chip execution crashed the TPU worker
+    (r3); chunks of 8 keep each executable at the size the forward
+    serving path (render_samples_jit) already runs safely.
+
     Native mode only (compat's sample-count-starts-at-1 average
     intentionally dims; gradients target the unbiased native estimate).
     """
     assert not config.compat, "accumulated gradients are native-mode only"
     merged = _merge(ir, params)
 
-    # ---- pass 1: forward only ------------------------------------------
-    img, state_f = render_beauty(config, merged, n_samples)
-    count = jnp.maximum(state_f["samples"].astype(jnp.float32), 1.0)
+    # ---- pass 1: forward only, chunked ---------------------------------
+    state = init_state(config)
+    done = 0
+    while done < n_samples:
+        n = min(chunk, n_samples - done)
+        state = _accum_fwd_chunk(config, merged, state, n)
+        done += n
+    img = state["passes"][BEAUTY, :, :3]
+    count = jnp.maximum(state["samples"].astype(jnp.float32), 1.0)
     loss = jnp.mean((img - target) ** 2)
     # d loss / d img, folded with the per-sample progressive weight.
     seed = (2.0 * (img - target) / img.size) / count[:, None]
     seed = jax.lax.stop_gradient(seed)
 
-    npix = img.shape[0]
-
-    # ---- pass 2: per-sample VJP accumulation ---------------------------
-    def body(i, carry):
-        grads, rng = carry
-
-        def f(p):
-            out, rng2 = sample_radiance(config, _merge(ir, p), rng, npix)
-            return out["light"], (out["ok"], rng2)
-
-        light, vjp, (ok, rng2) = jax.vjp(f, params, has_aux=True)
-        (g,) = vjp(seed * ok[:, None])
+    # ---- pass 2: per-sample VJP accumulation, chunked ------------------
+    grads = jax.tree.map(jnp.zeros_like, params)
+    rng = init_state(config)["rng"]
+    done = 0
+    while done < n_samples:
+        n = min(chunk, n_samples - done)
+        g, rng = _accum_bwd_chunk(config, ir, params, seed, rng, n)
         grads = jax.tree.map(jnp.add, grads, g)
-        return grads, rng2
-
-    grads0 = jax.tree.map(jnp.zeros_like, params)
-    rng0 = init_state(config)["rng"]
-    grads, _ = jax.lax.fori_loop(0, n_samples, body, (grads0, rng0))
+        done += n
     return loss, grads
 
 

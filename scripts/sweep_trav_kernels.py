@@ -72,15 +72,18 @@ _burned_in = False
 
 
 def bench(name, fn, o, d, ref_t=None):
-    # The axon tunnel's FIRST few kernel executions in a process run
-    # ~2.4x slow (docs/PERF.md "measurement notes"); burn the transient
-    # off on the first cell so it doesn't masquerade as a kernel result.
+    # The axon tunnel's first kernel executions run ~2.4x slow and the
+    # transient is TIME-based (~tens of seconds after first device use),
+    # not count-based — a fixed number of warmup calls does not outlast
+    # it (docs/PERF.md "measurement notes").  Burn for a duration.
     global _burned_in
-    warm = 1 if _burned_in else 4
+    deadline = time.time() + (20.0 if not _burned_in else 0.0)
     _burned_in = True
-    for _ in range(warm):
+    while True:
         i, t = fn(o, d)
         float(jnp.sum(t.ravel()[:8]))
+        if time.time() >= deadline:
+            break
     i.block_until_ready()
     t0 = time.time()
     for _ in range(REPS):
