@@ -100,11 +100,14 @@ def main():
     # 64-sample loop would store 64 wavefronts of residuals.
     target = jnp.zeros((res * res, 3), jnp.float32)
     grad_spp = int(os.environ.get("BENCH_GRAD_SPP", str(spp)))
-    loss, grads = fwd_bwd_step_accum(config, ir, target, grad_spp)
+    accum_chunk = int(os.environ.get("BENCH_ACCUM_CHUNK", "8"))
+    loss, grads = fwd_bwd_step_accum(config, ir, target, grad_spp,
+                                     chunk=accum_chunk)
     float(loss)  # compile + materialize
     float(jnp.sum(grads["materials"]["albedo"]))
     t0 = time.time()
-    loss, grads = fwd_bwd_step_accum(config, ir, target, grad_spp)
+    loss, grads = fwd_bwd_step_accum(config, ir, target, grad_spp,
+                                     chunk=accum_chunk)
     float(loss)
     float(jnp.sum(grads["materials"]["albedo"]))
     dt_bwd = time.time() - t0

@@ -171,8 +171,9 @@ def render_loss_and_grad_accum(config, ir, params, target, n_samples: int,
     return loss, grads
 
 
-def fwd_bwd_step_accum(config, ir, target, n_samples: int):
+def fwd_bwd_step_accum(config, ir, target, n_samples: int, chunk: int = 8):
     """The BASELINE headline unit at its own shape: n-sample render +
     n-sample accumulated backward, flat memory (BASELINE.md:21)."""
     params = {"materials": float_subtree(ir["materials"])}
-    return render_loss_and_grad_accum(config, ir, params, target, n_samples)
+    return render_loss_and_grad_accum(config, ir, params, target, n_samples,
+                                      chunk=chunk)
