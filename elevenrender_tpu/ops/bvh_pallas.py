@@ -102,11 +102,12 @@ def _entry_scalars(row, e, lanes, use_roll: bool = True):
 def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, idx_out, t_out, *, depth, max_leaf,
             stack_smem, tri_scratch=None, dma_sem=None, rows2=0,
-            counts_out=None, order="near"):
+            counts_out=None, order="near", excl_ref=None, tmax_ref=None):
     D = depth
     stream = tri_scratch is not None
     count = counts_out is not None
     sign_order = order == "sign"
+    any_hit = excl_ref is not None
 
     ox = ox_ref[...]
     oy = oy_ref[...]
@@ -114,6 +115,9 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
     dx = dx_ref[...]
     dy = dy_ref[...]
     dz = dz_ref[...]
+    if any_hit:
+        excl = excl_ref[...]
+        tmax0 = tmax_ref[...]
     inv_x = 1.0 / dx
     inv_y = 1.0 / dy
     inv_z = 1.0 / dz
@@ -217,8 +221,19 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                       & (u >= 0.0) & (u <= 1.0)
                       & (v >= 0.0) & (u + v <= 1.0)
                       & (t >= 0.0) & (t < best_t))
-                best_idx = jnp.where(ok, slot, best_idx)
-                best_t = jnp.where(ok, t, best_t)
+                if any_hit:
+                    # Occlusion query: exclude the per-ray source tri
+                    # (the reference's self-hit triIdx check,
+                    # kernel.cpp:556) in-kernel, and on ANY accepted hit
+                    # make the lane inert (best_t = -inf: no further
+                    # slab test or tri test can pass) — a fully-occluded
+                    # tile then prunes every remaining node.
+                    ok = ok & (slot != excl)
+                    best_idx = jnp.where(ok, slot, best_idx)
+                    best_t = jnp.where(ok, -jnp.inf, best_t)
+                else:
+                    best_idx = jnp.where(ok, slot, best_idx)
+                    best_t = jnp.where(ok, t, best_t)
             return best_idx, best_t
 
         return jax.lax.fori_loop(0, n_groups, group_body,
@@ -338,9 +353,12 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
     stack_smem[0, 0] = -1  # sentinel (transverse pushes invalid first)
     stack_smem[0, 1] = 0
+    # any_hit: best_t starts at the per-ray t_max (a point-light's
+    # distance), so occluders beyond the light AND subtrees beyond it
+    # are rejected by the same t < best_t / tmin < best_t tests.
+    best_t0 = tmax0 if any_hit else jnp.full(ox.shape, jnp.inf, jnp.float32)
     init = (False, jnp.int32(0), jnp.int32(0), jnp.int32(1),
-            jnp.full(ox.shape, -1, jnp.int32),
-            jnp.full(ox.shape, jnp.inf, jnp.float32))
+            jnp.full(ox.shape, -1, jnp.int32), best_t0)
     if count:
         init = init + (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     out = jax.lax.while_loop(cond, body, init)
@@ -364,7 +382,7 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                     max_leaf: int, interpret: bool = False,
                     chunk: int = 512, stream: bool = False,
                     sub: int = SUB, count_steps: bool = False,
-                    order: str = "near"):
+                    order: str = "near", exclude=None, t_max=None):
     """nodes/leaf/tris9: packed tables from pack_bvh_for_pallas (8
     entries per 128-lane row).  ray_o/ray_d: [N, 3] (unit directions).
     Returns (idx [N] i32 — leaf-order tri index, -1 on miss; t [N] f32).
@@ -395,7 +413,17 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
     the packed split-axis code against precomputed tile direction signs
     (pure scalar select).  Hit results identical up to equal-t ties;
     visit counts and cost differ.
+
+    ``exclude`` [N] i32 + ``t_max`` [N] f32 (both or neither): ANY-HIT
+    occlusion mode for shadow rays.  A lane reports the first accepted
+    hit with tri != exclude[lane] and t < t_max[lane] (t_max = the
+    point-light distance, or +inf) and then goes inert, so
+    fully-occluded tiles stop walking; `idx >= 0` is the occlusion
+    flag and the returned t is NOT a distance (-inf on hit).
     """
+    any_hit = exclude is not None
+    assert any_hit == (t_max is not None), \
+        "exclude and t_max come together (any-hit mode)"
     N = ray_o.shape[0]
     tile = sub * LANE
     CHUNK = min(chunk, max(-(-N // tile), 1))
@@ -405,6 +433,11 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
         ray_d = jnp.concatenate(
             [ray_d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], ray_d.dtype),
                              (pad, 1))])
+        if any_hit:
+            exclude = jnp.concatenate(
+                [exclude, jnp.full((pad,), -1, jnp.int32)])
+            t_max = jnp.concatenate(
+                [t_max, jnp.zeros((pad,), jnp.float32)])
     NP = N + pad
     NT = NP // tile
     n_chunks = NT // CHUNK
@@ -413,6 +446,10 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
     for arr in (ray_o, ray_d):
         for c in range(3):
             comps.append(arr[:, c].reshape(n_chunks, CHUNK, sub, LANE))
+    if any_hit:
+        comps.append(exclude.reshape(n_chunks, CHUNK, sub, LANE))
+        comps.append(t_max.reshape(n_chunks, CHUNK, sub, LANE))
+    n_ray_ops = len(comps)
 
     nodes_shape = nodes.shape
     leaf_shape = leaf.shape
@@ -460,15 +497,15 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
         ] + [
             pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-            for _ in range(6)
+            for _ in range(n_ray_ops)
         ],
         out_specs=out_specs,
         scratch_shapes=scratch_shapes,
     )
 
     def kernel(nodes_ref, leaf_ref, tri_ref, *rest):
-        refs = rest[:6]
-        rest = rest[6:]
+        refs = rest[:n_ray_ops]
+        rest = rest[n_ray_ops:]
         if count_steps:
             idx_out, t_out, counts, stack = rest[:4]
             rest = rest[4:]
@@ -480,18 +517,27 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
         dma_sem = rest[1] if stream else None
         sq = [r[0] for r in refs]
 
+        class _Sq:
+            def __init__(self, v):
+                self.v = v
+
+            def __getitem__(self, k):
+                return self.v
+
         def squeeze_out(ref):
             class _W:
                 def __setitem__(self, k, v):
                     ref[0] = v
             return _W()
 
-        _kernel(nodes_ref, leaf_ref, tri_ref, *sq,
+        _kernel(nodes_ref, leaf_ref, tri_ref, *sq[:6],
                 squeeze_out(idx_out), squeeze_out(t_out),
                 depth=depth, max_leaf=max_leaf, stack_smem=stack,
                 tri_scratch=tri_scratch, dma_sem=dma_sem, rows2=rows2,
                 counts_out=squeeze_out(counts) if count_steps else None,
-                order=order)
+                order=order,
+                excl_ref=_Sq(sq[6]) if any_hit else None,
+                tmax_ref=_Sq(sq[7]) if any_hit else None)
 
     call = pl.pallas_call(
         kernel,

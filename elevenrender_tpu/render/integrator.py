@@ -113,7 +113,8 @@ def _uses_sort(config, ir) -> bool:
                 "pallas_wide_stream", "packet"))
 
 
-def _trace(config, ir, ray_o, ray_d, mask=None, perm=None):
+def _trace(config, ir, ray_o, ray_d, mask=None, perm=None,
+           exclude=None, t_max=None):
     """Nearest-hit query (throwRay, kernel.cpp:218-240).
 
     Mode selection is static (baked into the jitted program) — see
@@ -129,15 +130,33 @@ def _trace(config, ir, ray_o, ray_d, mask=None, perm=None):
     ordering.  The integrator exploits that bounce and shadow rays
     originate at the SAME hit points: one sort per bounce serves both
     (VERDICT r2: the per-trace sorts were 22% of the step).
+
+    ``exclude`` [N] i32 + ``t_max`` [N] f32: OCCLUSION query (native
+    shadow rays) — returns idx >= 0 iff some tri other than
+    exclude[lane] is hit closer than t_max[lane]; t is not a distance.
+    On the Pallas paths this is the kernel's any-hit mode (lanes go
+    inert on first hit, fully-occluded tiles stop walking); other modes
+    emulate with nearest + filter, which can miss an occluder hiding
+    behind an excluded nearest hit — exactly the reference's own
+    nearest-based self-hit semantics (kernel.cpp:556).
     """
     tris = ir["tris"]["verts"]
     mode = _resolve_trace_mode(config, ir)
+    occl = exclude is not None
+
+    def emulate(idx, t):
+        """Nearest-based occlusion emulation for non-any-hit paths."""
+        if not occl:
+            return idx, t
+        good = (idx >= 0) & (idx != exclude) & (t < t_max)
+        return jnp.where(good, idx, -1), t
+
     if mode == "brute":
         idx, t = bvh_ops.brute_force(tris, ray_o, ray_d)
         if mask is not None:
             idx = jnp.where(mask, idx, -1)
             t = jnp.where(mask, t, jnp.inf)
-        return idx, t
+        return emulate(idx, t)
 
     if mask is not None:
         # Instant-miss substitute: origin far above the root AABB looking
@@ -173,7 +192,15 @@ def _trace(config, ir, ray_o, ray_d, mask=None, perm=None):
                                  interpret=jax.default_backend() == "cpu",
                                  stream=mode == "pallas_stream",
                                  sub=config.pallas_sub,
-                                 order=config.trace_order)
+                                 order=config.trace_order,
+                                 exclude=(exclude[order] if occl and
+                                          order is not None else exclude),
+                                 t_max=(t_max[order] if occl and
+                                        order is not None else t_max))
+        if inverse is not None:
+            idx = idx[inverse]
+            t = t[inverse]
+        return idx, t
     elif mode in ("pallas_wide", "pallas_wide_stream"):
         from ..ops.bvh_wide import traverse_wide
         bw = ir["bvh_wide"]
@@ -190,13 +217,14 @@ def _trace(config, ir, ray_o, ray_d, mask=None, perm=None):
                                          max_leaf=config.bvh_max_leaf,
                                          tile=config.packet_tile)
     else:
-        return bvh_ops.traverse(ir["bvh"], tris, ray_o, ray_d,
-                                depth=config.bvh_depth,
-                                max_leaf=config.bvh_max_leaf)
+        idx, t = bvh_ops.traverse(ir["bvh"], tris, ray_o, ray_d,
+                                  depth=config.bvh_depth,
+                                  max_leaf=config.bvh_max_leaf)
+        return emulate(idx, t)
     if inverse is not None:
         idx = idx[inverse]
         t = t[inverse]
-    return idx, t
+    return emulate(idx, t)
 
 
 def _generate_hitdata(config, ir, hit, ray_d):
@@ -426,19 +454,31 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0):
             perm2 = ((jnp.concatenate([order, order + npix]),
                       jnp.concatenate([inverse, inverse + npix]))
                      if use_sort else None)
+            # Occlusion query (any-hit on the Pallas paths): source tri
+            # excluded in-kernel, point-light half distance-limited.
+            inf_col = jnp.full((npix,), jnp.inf, jnp.float32)
             both_idx, both_t = _trace(
                 config, ir,
                 jnp.concatenate([shadow_o, hd["position"] + wi_l * 1e-3], 0),
                 jnp.concatenate([wihdri, wi_l], 0),
                 mask=jnp.concatenate([shade, shade], 0),
-                perm=perm2)
-            s_idx = both_idx[:npix]
-            l_occluded = (both_idx[npix:] >= 0) & \
-                (both_t[npix:] < ldist - 1e-3)
-        else:
+                perm=perm2,
+                exclude=jnp.concatenate([hit_idx, hit_idx]),
+                t_max=jnp.concatenate([inf_col, ldist - 1e-3]))
+            occluded = both_idx[:npix] >= 0
+            l_occluded = both_idx[npix:] >= 0
+        elif config.compat:
+            # Reference parity: plain nearest + self-hit comparison
+            # (kernel.cpp:556).
             s_idx, _ = _trace(config, ir, shadow_o, wihdri, mask=shade,
                               perm=(order, inverse) if use_sort else None)
-        occluded = (s_idx >= 0) & (s_idx != hit_idx)
+            occluded = (s_idx >= 0) & (s_idx != hit_idx)
+        else:
+            s_idx, _ = _trace(config, ir, shadow_o, wihdri, mask=shade,
+                              perm=(order, inverse) if use_sort else None,
+                              exclude=hit_idx,
+                              t_max=jnp.full((npix,), jnp.inf, jnp.float32))
+            occluded = s_idx >= 0
         hdri_val = hdri_ops.env_fetch_uv(env, nu, nv)
         hdri_val = where3(occluded, jnp.zeros_like(hdri_val), hdri_val)
         f_nee = disney_eval(hd, wo, n, wihdri)

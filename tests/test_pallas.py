@@ -184,3 +184,43 @@ def test_count_steps_counters():
                                max_leaf=bvh["max_leaf"], interpret=True,
                                sub=8, stream=True, count_steps=True)
     np.testing.assert_array_equal(c, np.asarray(c2))
+
+
+def test_anyhit_occlusion_matches_ground_truth():
+    """Any-hit occlusion mode (exclude + t_max): occluded iff some tri
+    other than the per-ray excluded one is hit closer than t_max."""
+    tris, o, d = random_scene(500, 3000, seed=2)
+    bvh = build_bvh(tris)
+    st = tris[np.asarray(bvh["perm"])]
+    nodes, leaf, tris9 = pack_bvh_for_pallas(bvh, st)
+    N = o.shape[0]
+    rng = np.random.default_rng(0)
+    excl = jnp.asarray(rng.integers(-1, 500, N).astype(np.int32))
+    tmax = jnp.asarray(np.where(rng.random(N) < 0.5, np.inf,
+                                rng.uniform(1, 10, N)).astype(np.float32))
+
+    ai, _ = traverse_pallas(nodes, leaf, tris9, o, d, depth=bvh["depth"],
+                            max_leaf=bvh["max_leaf"], interpret=True,
+                            sub=8, exclude=excl, t_max=tmax)
+    occ = np.asarray(ai) >= 0
+
+    # Ground truth: brute nearest is NOT enough (the nearest hit may be
+    # excluded); scan all tris per ray.
+    v0 = st[:, 0]
+    e1 = st[:, 1] - st[:, 0]
+    e2 = st[:, 2] - st[:, 0]
+    on, dn = np.asarray(o), np.asarray(d)
+    for k in range(0, N, 7):  # spot-check every 7th ray
+        p = np.cross(dn[k], e2)
+        det = (e1 * p).sum(1)
+        inv = 1.0 / np.where(np.abs(det) < 1e-30, 1e-30, det)
+        tv = on[k] - v0
+        u = (tv * p).sum(1) * inv
+        q = np.cross(tv, e1)
+        vv = (dn[k] * q).sum(1) * inv
+        t = (e2 * q).sum(1) * inv
+        ok = ((np.abs(det) > 1e-7) & (u >= 0) & (u <= 1) & (vv >= 0)
+              & (u + vv <= 1) & (t >= 0) & (t < float(tmax[k])))
+        if int(excl[k]) >= 0:
+            ok[int(excl[k])] = False
+        assert occ[k] == ok.any(), k
