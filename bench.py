@@ -85,6 +85,10 @@ def main():
     sync(state)
     dt_fwd = time.time() - t0
     fwd_rays_per_sec = rays_per_sample * n_bench / dt_fwd
+    # Stage results to stderr as they land (stdout stays the one-line
+    # JSON contract): a crash in a later stage must not lose these.
+    print(f"[stage] fwd {fwd_rays_per_sec:.0f} rays/s "
+          f"({dt_fwd/n_bench*1e3:.0f} ms/sample)", file=sys.stderr)
 
     # ---- alive-ray accounting (instrumented, not timed) ------------------
     cfg_count = config.replace(count_rays=True)
@@ -112,6 +116,8 @@ def main():
     float(jnp.sum(grads["materials"]["albedo"]))
     dt_bwd = time.time() - t0
     fwdbwd_rays_per_sec = rays_per_sample * grad_spp / dt_bwd
+    print(f"[stage] fwd+bwd {grad_spp}spp {fwdbwd_rays_per_sec:.0f} rays/s",
+          file=sys.stderr)
 
     # Legacy 1-spp direct-AD step (round-2 comparability).
     loss, grads = fwd_bwd_step(config, ir, target, 1)
