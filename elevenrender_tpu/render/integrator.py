@@ -454,6 +454,17 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0):
             perm2 = ((jnp.concatenate([order, order + npix]),
                       jnp.concatenate([inverse, inverse + npix]))
                      if use_sort else None)
+        if not config.compat:
+            # NEE contribution gate = DisneyEval's own gate
+            # (Disney.cpp:166: transmission < 1 && NdotL > 0 && NdotV >
+            # 0): where it fails, f_nee is exactly 0 and occlusion is
+            # irrelevant — skip the shadow lane entirely (the sort packs
+            # skipped lanes into free tail tiles).
+            g_common = shade & (dot(wo, n) > 0.0) \
+                & (hd["transmission"] < 1.0)
+            g_hdri = g_common & (dot(wihdri, n) > 0.0)
+        if merge_lights:
+            g_l = g_common & (dot(wi_l, n) > 0.0)
             # Occlusion query (any-hit on the Pallas paths): source tri
             # excluded in-kernel, point-light half distance-limited.
             inf_col = jnp.full((npix,), jnp.inf, jnp.float32)
@@ -461,7 +472,7 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0):
                 config, ir,
                 jnp.concatenate([shadow_o, hd["position"] + wi_l * 1e-3], 0),
                 jnp.concatenate([wihdri, wi_l], 0),
-                mask=jnp.concatenate([shade, shade], 0),
+                mask=jnp.concatenate([g_hdri, g_l], 0),
                 perm=perm2,
                 exclude=jnp.concatenate([hit_idx, hit_idx]),
                 t_max=jnp.concatenate([inf_col, ldist - 1e-3]))
@@ -469,12 +480,13 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0):
             l_occluded = both_idx[npix:] >= 0
         elif config.compat:
             # Reference parity: plain nearest + self-hit comparison
-            # (kernel.cpp:556).
+            # (kernel.cpp:556); all shading lanes launch, as the
+            # megakernel does.
             s_idx, _ = _trace(config, ir, shadow_o, wihdri, mask=shade,
                               perm=(order, inverse) if use_sort else None)
             occluded = (s_idx >= 0) & (s_idx != hit_idx)
         else:
-            s_idx, _ = _trace(config, ir, shadow_o, wihdri, mask=shade,
+            s_idx, _ = _trace(config, ir, shadow_o, wihdri, mask=g_hdri,
                               perm=(order, inverse) if use_sort else None,
                               exclude=hit_idx,
                               t_max=jnp.full((npix,), jnp.inf, jnp.float32))
@@ -534,9 +546,15 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0):
         prev_brdf_pdf = jnp.where(shade, brdf_pdf, prev_brdf_pdf)
         had_bounce = had_bounce | shade
         if config.count_rays:
-            # Shadow segments actually launched for shading lanes.
-            n_shadow = 2.0 if merge_lights else 1.0
-            rays = rays + n_shadow * jnp.sum(shade.astype(jnp.float32))
+            # Shadow segments actually launched (gated lanes skipped in
+            # native mode).
+            if merge_lights:
+                rays = rays + jnp.sum(g_hdri.astype(jnp.float32)) \
+                    + jnp.sum(g_l.astype(jnp.float32))
+            elif config.compat:
+                rays = rays + jnp.sum(shade.astype(jnp.float32))
+            else:
+                rays = rays + jnp.sum(g_hdri.astype(jnp.float32))
         return (rng, ray_o, ray_d, light, reduction, alive,
                 aov_normal, aov_tangent, aov_bitangent, aov_albedo,
                 prev_brdf_pdf, had_bounce, rays, order, inverse)
