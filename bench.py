@@ -64,6 +64,9 @@ def main():
         config = config.replace(trace_order=order)
     if os.environ.get("BENCH_DIRMAJOR"):  # A/B knob: octant-major sort
         config = config.replace(sort_dir_major=True)
+    ssub = int(os.environ.get("BENCH_SHADOW_SUB", "0"))
+    if ssub:  # A/B knob: narrow any-hit shadow tiles
+        config = config.replace(shadow_pallas_sub=ssub)
 
     def sync(state):
         return float(jnp.sum(state["samples"]))

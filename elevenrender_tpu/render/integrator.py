@@ -186,12 +186,15 @@ def _trace(config, ir, ray_o, ray_d, mask=None, perm=None,
     if mode in ("pallas", "pallas_stream"):
         from ..ops.bvh_pallas import traverse_pallas
         bp = ir["bvh_packed"]
+        sub = config.pallas_sub
+        if occl and config.shadow_pallas_sub:
+            sub = config.shadow_pallas_sub
         idx, t = traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
                                  ray_o, ray_d, depth=config.bvh_depth,
                                  max_leaf=config.bvh_max_leaf,
                                  interpret=jax.default_backend() == "cpu",
                                  stream=mode == "pallas_stream",
-                                 sub=config.pallas_sub,
+                                 sub=sub,
                                  order=config.trace_order,
                                  exclude=(exclude[order] if occl and
                                           order is not None else exclude),

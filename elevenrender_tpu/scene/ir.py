@@ -70,6 +70,11 @@ class RenderConfig:
     # by 2.2-7x on coherent AND sorted-incoherent rays
     # (scripts/sweep_tile.py, docs/PERF.md).
     pallas_sub: int = 32
+    # Tile width for OCCLUSION (any-hit shadow) traces; 0 = use
+    # pallas_sub.  Any-hit early termination is tile-granular (a tile
+    # stops when every lane is resolved), so narrower shadow tiles can
+    # win despite the wider-amortization rule for nearest traces.
+    shadow_pallas_sub: int = 0
     # Child descent order in the Pallas walk: "near" = per-visit min
     # entry distance; "sign" = packed split-axis vs tile direction signs
     # (drops one horizontal reduction per interior visit — A/B knob, see
