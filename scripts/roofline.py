@@ -43,7 +43,7 @@ RES = int(os.environ.get("BENCH_RES", "1024"))
 GRID = int(os.environ.get("BENCH_GRID", "182"))
 REPS = int(os.environ.get("REPS", "4"))
 CLOCK = 0.94e9          # v5e TensorCore clock
-VPU_F32_PER_CYC = 2048  # 2 ALUs x (8,128)
+VPU_F32_PER_CYC = 4096  # 4 VPU sub-units x (8,128)
 HBM_BPS = 819e9         # v5e HBM bandwidth
 
 npix = RES * RES
@@ -87,8 +87,10 @@ def trav(o, d, count=False):
                            stream=stream, sub=sub, count_steps=count)
 
 
-# Burn-in: first executions through the tunnel are not representative.
-for _ in range(4):
+# Burn-in: the tunnel transient is TIME-based (docs/PERF.md) — burn
+# for a duration, not a count.
+_deadline = time.time() + 20.0
+while time.time() < _deadline:
     i, t = trav(ray_o, ray_d)
     float(jnp.sum(t.ravel()[:8]))
 

@@ -39,8 +39,10 @@ SUBS = [int(s) for s in os.environ.get("SUBS", "8,16,32").split(",")]
 npix = RES * RES
 interp = jax.default_backend() == "cpu"
 
+DEPTH = os.environ.get("DEPTH")
 scene, config, ir = heightfield_scene(grid=GRID, res=RES, spp=64,
-                                      compat=False)
+                                      compat=False,
+                                      bvh_depth=int(DEPTH) if DEPTH else None)
 T = ir["tris"]["verts"].shape[0]
 stream = T > 120_000  # integrator._resolve_trace_mode VMEM limit
 print(f"tris={T} depth={config.bvh_depth} max_leaf={config.bvh_max_leaf} "
