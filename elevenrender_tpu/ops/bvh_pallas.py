@@ -456,8 +456,14 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
     tris_shape = tris9.shape
 
     # Streaming scratch: rows covering a leaf parent's worst-case
-    # contiguous child span [lf, rt) (<= 2*max_leaf tris) plus row slack.
+    # contiguous child span [lf, rt) (<= 2*max_leaf tris) plus row
+    # slack, rounded UP to a multiple of 8: f32 arrays tile as (8, 128)
+    # and a dynamic-start DMA with a non-8-aligned row extent crashed
+    # the TPU worker at scale (r3 bisection: the only working
+    # configuration, 201k tris, was also the only one whose window was
+    # a multiple of 8 — 16 rows vs 22/29/35 for the crashing ones).
     rows2 = (2 * max_leaf + 7) // ENTRIES_PER_ROW + 1
+    rows2 = -(-rows2 // 8) * 8
     scratch_shapes = [pltpu.SMEM((depth + 2, 2), jnp.int32)]
     if stream:
         tris_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -617,8 +623,8 @@ def pack_bvh_for_pallas(bvh: dict, tri_verts_sorted) -> tuple:
     # starting anywhere in the table (worst case: an empty leaf whose
     # from==to==T), so the window must never run off the end.  The 8-wide
     # kernel's window covers an 8-leaf span (ops/bvh_wide.py), the widest
-    # consumer of this table.
-    pad_rows = (8 * bvh["max_leaf"] + 7) // ENTRIES_PER_ROW + 2
+    # consumer of this table; +8 covers the windows' 8-row alignment.
+    pad_rows = (8 * bvh["max_leaf"] + 7) // ENTRIES_PER_ROW + 2 + 8
     tris = np.zeros((rows(T) + pad_rows, LANE), np.float32)
     ti = np.arange(T)
     tr = ti >> 3

@@ -333,8 +333,11 @@ def traverse_wide(nodes8, leaf8, tris9, ray_o, ray_d, depth: int,
     stack_rows = 7 * M + 4
 
     # Streaming scratch: rows covering a last-level node's worst-case
-    # contiguous 8-leaf span, plus row slack.
+    # contiguous 8-leaf span, plus row slack, 8-aligned (see
+    # bvh_pallas.traverse_pallas rows2 — non-8-aligned dynamic DMA
+    # extents crashed the worker).
     rows8 = (WIDE * max_leaf + 7) // WIDE + 1
+    rows8 = -(-rows8 // 8) * 8
     scratch_shapes = [pltpu.SMEM((stack_rows, 2), jnp.int32)]
     if stream:
         tris_spec = pl.BlockSpec(memory_space=pl.ANY)

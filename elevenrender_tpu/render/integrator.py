@@ -81,25 +81,13 @@ def _resolve_trace_mode(config, ir) -> str:
             mode = "per_ray"  # CPU gathers are fine; Pallas would interpret
         elif tris.shape[0] <= 120_000:  # VMEM-resident limit (~8MB tris)
             mode = "pallas"
-        elif tris.shape[0] <= 220_000 and config.bvh_depth <= 13:
-            # HBM-streaming kernel: validated on hardware to 201k tris /
-            # depth 13 (scripts/check_stream_parity.py).  At >=498k /
-            # depth 14 its first execution CRASHES the TPU worker
-            # (r3 bisection, scripts/stream_bisect.py; docs/PERF.md) —
-            # auto mode must never select a kernel that can take the
-            # device down, so larger scenes take the slow-but-safe jnp
-            # packet path until the fault is isolated.  Explicit
-            # trace_mode="pallas_stream" remains available.
+        elif config.bvh_depth <= 15:  # node tables 2^(D+8) B <= 8MB VMEM
+            # HBM-streaming kernel, validated on hardware to 1M tris /
+            # depth 15 (r3: scripts/stream_bisect.py, 565 ms / 1M
+            # coherent rays).  Its early worker crashes at >=318k tris
+            # were root-caused to a non-8-aligned dynamic DMA extent —
+            # fixed by 8-aligning the tri window (bvh_pallas rows2).
             mode = "pallas_stream"  # tris DMA-streamed from HBM
-        elif config.bvh_depth <= 15:
-            from ..utils.logging import get_logger
-            get_logger().warning(
-                "%d tris exceeds the validated pallas_stream envelope "
-                "(201k; >=498k crashed the TPU worker in r3): auto mode "
-                "is taking the jnp packet path (~10x slower). Force "
-                "trace_mode='pallas_stream' to try the fast kernel.",
-                tris.shape[0])
-            mode = "packet"
         else:
             # Only reachable with an EXPLICIT bvh_depth > 15 (auto depth
             # clamps at STREAM_MAX_DEPTH, ops/bvh.default_depth); the
