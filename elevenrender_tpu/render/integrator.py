@@ -81,13 +81,27 @@ def _resolve_trace_mode(config, ir) -> str:
             mode = "per_ray"  # CPU gathers are fine; Pallas would interpret
         elif tris.shape[0] <= 120_000:  # VMEM-resident limit (~8MB tris)
             mode = "pallas"
-        elif config.bvh_depth <= 15:  # node tables 2^(D+8) B <= 8MB VMEM
-            # HBM-streaming kernel, validated on hardware to 1M tris /
-            # depth 15 (r3: scripts/stream_bisect.py, 565 ms / 1M
-            # coherent rays).  Its early worker crashes at >=318k tris
-            # were root-caused to a non-8-aligned dynamic DMA extent —
-            # fixed by 8-aligning the tri window (bvh_pallas rows2).
+        elif tris.shape[0] <= 360_000 and config.bvh_depth <= 14:
+            # HBM-streaming kernel.  ISOLATED traversal is validated on
+            # hardware to 1M tris / depth 15 (r3 stream_bisect: 565 ms
+            # per 1M coherent rays, after the 8-aligned-DMA-window fix),
+            # but the full INTEGRATOR composition (~80 stream launches
+            # per 8-sample executable, incl. the any-hit variant)
+            # crashed the worker at 1M in its single r3 attempt — so
+            # auto keeps stream inside the isolated-validated mid range
+            # and routes larger scenes to the safe packet path until the
+            # composition is cleared.  Explicit trace_mode=
+            # "pallas_stream" remains available at any size.
             mode = "pallas_stream"  # tris DMA-streamed from HBM
+        elif config.bvh_depth <= 15:
+            from ..utils.logging import get_logger
+            get_logger().warning(
+                "%d tris: the full-integrator pallas_stream composition "
+                "is not yet cleared at this scale (r3, docs/PERF.md); "
+                "auto mode is taking the jnp packet path. Force "
+                "trace_mode='pallas_stream' to use the fast kernel.",
+                tris.shape[0])
+            mode = "packet"
         else:
             # Only reachable with an EXPLICIT bvh_depth > 15 (auto depth
             # clamps at STREAM_MAX_DEPTH, ops/bvh.default_depth); the
