@@ -133,6 +133,31 @@ def main():
     float(jnp.sum(grads["materials"]["albedo"]))
     fwdbwd_1spp = rays_per_sample * n_grad / (time.time() - t0)
 
+    # ---- config-5-shaped hard stage (VERDICT r3 ask #3) ------------------
+    # Textured ~1M-tri stream-residency scene, run in a SUBPROCESS so a
+    # worker fault in the hard stage cannot lose the headline numbers
+    # (scripts/bench_config5.py prints one JSON line).
+    config5 = {}
+    if os.environ.get("BENCH_CONFIG5", "1") != "0":
+        import subprocess
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "scripts", "bench_config5.py")],
+                capture_output=True, text=True, timeout=3600)
+            sys.stderr.write(proc.stderr)
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
+                else ""
+            if proc.returncode == 0 and line.startswith("{"):
+                config5 = json.loads(line)
+            else:
+                config5 = {"config5_error":
+                           f"exit {proc.returncode}: {line[:200]}"}
+        except Exception as e:  # timeout / crash — report, don't die
+            config5 = {"config5_error": repr(e)[:200]}
+        print(f"[stage] config5 {config5}", file=sys.stderr)
+
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_SELF.json")
     vs = 1.0
@@ -155,6 +180,7 @@ def main():
             "alive_rays_per_sec": round(alive_rays_per_sec, 1),
             "alive_fraction": round(alive_per_sample / rays_per_sample, 4),
             "fwd_samples_per_dispatch": chunk,
+            **config5,
         },
     }))
 

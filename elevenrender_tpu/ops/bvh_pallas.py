@@ -102,7 +102,8 @@ def _entry_scalars(row, e, lanes, use_roll: bool = True):
 def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, idx_out, t_out, *, depth, max_leaf,
             stack_smem, tri_scratch=None, dma_sem=None, rows2=0,
-            counts_out=None, order="near", excl_ref=None, tmax_ref=None):
+            counts_out=None, order="near", excl_ref=None, tmax_ref=None,
+            leaf_mode="full"):
     D = depth
     stream = tri_scratch is not None
     count = counts_out is not None
@@ -285,12 +286,18 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                 dma.start()
                 dma.wait()
             # Right child first, then left (BVH.cpp:81-87).
-            sc = jax.lax.cond(r_over,
-                              lambda c: leaf_scan(rf, rt, *c, base_row),
-                              lambda c: c, (best_idx, best_t))
-            sc = jax.lax.cond(l_over,
-                              lambda c: leaf_scan(lf, lt, *c, base_row),
-                              lambda c: c, sc)
+            if leaf_mode == "noscan":
+                # Decomposition probe (scripts/decompose_trav.py): pay
+                # the leaf-parent overhead (cond, leaf-row fetch, DMA)
+                # but skip the Möller-Trumbore row loops.
+                sc = (best_idx, best_t)
+            else:
+                sc = jax.lax.cond(r_over,
+                                  lambda c: leaf_scan(rf, rt, *c, base_row),
+                                  lambda c: c, (best_idx, best_t))
+                sc = jax.lax.cond(l_over,
+                                  lambda c: leaf_scan(lf, lt, *c, base_row),
+                                  lambda c: c, sc)
             if not count:
                 return sc
 
@@ -303,9 +310,10 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
         leaf_carry = ((best_idx, best_t, leafrows, dmas) if count
                       else (best_idx, best_t))
-        leaf_carry = jax.lax.cond(
-            at_leaf_parent & (l_over | r_over), do_leaves, lambda c: c,
-            leaf_carry)
+        if leaf_mode != "skip":  # "skip": walk-only decomposition probe
+            leaf_carry = jax.lax.cond(
+                at_leaf_parent & (l_over | r_over), do_leaves, lambda c: c,
+                leaf_carry)
         if count:
             best_idx, best_t, leafrows, dmas = leaf_carry
         else:
@@ -377,12 +385,14 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
 @functools.partial(jax.jit, static_argnames=("depth", "max_leaf",
                                              "interpret", "chunk", "stream",
-                                             "sub", "count_steps", "order"))
+                                             "sub", "count_steps", "order",
+                                             "leaf_mode"))
 def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                     max_leaf: int, interpret: bool = False,
                     chunk: int = 512, stream: bool = False,
                     sub: int = SUB, count_steps: bool = False,
-                    order: str = "near", exclude=None, t_max=None):
+                    order: str = "near", exclude=None, t_max=None,
+                    leaf_mode: str = "full"):
     """nodes/leaf/tris9: packed tables from pack_bvh_for_pallas (8
     entries per 128-lane row).  ray_o/ray_d: [N, 3] (unit directions).
     Returns (idx [N] i32 — leaf-order tri index, -1 on miss; t [N] f32).
@@ -413,6 +423,13 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
     the packed split-axis code against precomputed tile direction signs
     (pure scalar select).  Hit results identical up to equal-t ties;
     visit counts and cost differ.
+
+    ``leaf_mode``: decomposition probe (scripts/decompose_trav.py), NOT
+    a rendering mode — "full" (default), "noscan" (leaf-parent overhead
+    incl. DMA but no Möller-Trumbore loops), "skip" (interior walk
+    only).  Both probe modes return misses everywhere and, because hits
+    never tighten best_t, walk MORE than the full kernel — normalize
+    per-visit with count_steps.
 
     ``exclude`` [N] i32 + ``t_max`` [N] f32 (both or neither): ANY-HIT
     occlusion mode for shadow rays.  A lane reports the first accepted
@@ -543,7 +560,8 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                 counts_out=squeeze_out(counts) if count_steps else None,
                 order=order,
                 excl_ref=_Sq(sq[6]) if any_hit else None,
-                tmax_ref=_Sq(sq[7]) if any_hit else None)
+                tmax_ref=_Sq(sq[7]) if any_hit else None,
+                leaf_mode=leaf_mode)
 
     call = pl.pallas_call(
         kernel,

@@ -153,7 +153,8 @@ def nlm_denoise(color, normal=None, albedo=None, radius: int = 4,
 def denoise(width: int, height: int, raw, normal=None, albedo=None):
     """DenoiseManager::denoise-shaped entry: flat float4 [H*W*4] in/out.
 
-    With guides: albedo-demodulated NL-means (nlm_denoise); without:
+    With guides: albedo-guided NL-means (nlm_denoise — demodulation was
+    tried and measured worse, see module docstring); without:
     the color-only cross-bilateral (the reference's OIDN call is also
     color-only, Managers.cpp:319-343)."""
     img = jnp.asarray(raw).reshape(height, width, 4)

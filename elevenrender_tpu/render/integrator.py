@@ -79,7 +79,10 @@ def _resolve_trace_mode(config, ir) -> str:
             mode = "brute"
         elif jax.default_backend() == "cpu":
             mode = "per_ray"  # CPU gathers are fine; Pallas would interpret
-        elif tris.shape[0] <= 120_000:  # VMEM-resident limit (~8MB tris)
+        elif tris.shape[0] <= 120_000 and config.bvh_depth <= 15:
+            # VMEM-resident limit: ~8MB tris AND a 2^(depth+8)-byte node
+            # table (depth 15 = 8MB; an explicit deeper depth must fall
+            # through to the packet warning below, ADVICE r3).
             mode = "pallas"
         elif tris.shape[0] <= 360_000 and config.bvh_depth <= 14:
             # HBM-streaming kernel.  ISOLATED traversal is validated on
@@ -480,8 +483,11 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0):
             # NEE contribution gate = DisneyEval's own gate
             # (Disney.cpp:166: transmission < 1 && NdotL > 0 && NdotV >
             # 0): where it fails, f_nee is exactly 0 and occlusion is
-            # irrelevant — skip the shadow lane entirely (the sort packs
-            # skipped lanes into free tail tiles).
+            # irrelevant — skip the shadow lane entirely.  Note the
+            # shared per-bounce permutation is keyed on `alive`, so
+            # gate-failed lanes stay scattered through live tiles as
+            # instant-miss rays: the saving is per-lane (no tri work),
+            # not whole-tile termination (ADVICE r3).
             g_common = shade & (dot(wo, n) > 0.0) \
                 & (hd["transmission"] < 1.0)
             g_hdri = g_common & (dot(wihdri, n) > 0.0)

@@ -75,15 +75,20 @@ class Renderer:
             self._snapshot = self.state
 
     def start(self, sample_target: int | None = None,
-              samples_per_dispatch: int = 4) -> None:
+              samples_per_dispatch: int | None = None) -> None:
         """Asynchronous render (start_rendering, Managers.cpp:234-275).
 
         Steps ``samples_per_dispatch`` progressive samples per device
         dispatch (render_samples_jit_safe) to amortize launch overhead —
         the analog of enqueueing several sample kernels back-to-back
         (kernel.cpp:689-699) — while still snapshotting between chunks so
-        get_pass stays progressive."""
+        get_pass stays progressive.  Defaults to ``config.block_size``:
+        the reference's block_size sets its kernel dispatch granularity
+        (work-group edge, kernel.cpp:659-660); ours sets the dispatch
+        granularity on the progressive-sample axis."""
         target = sample_target or self.config.sample_target
+        if samples_per_dispatch is None:
+            samples_per_dispatch = max(1, int(self.config.block_size))
         chunk = max(1, min(samples_per_dispatch, target))
         if self._thread is not None and self._thread.is_alive():
             # Restart while rendering: stop at the next chunk boundary,

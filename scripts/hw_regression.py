@@ -1,0 +1,194 @@
+"""At-scale hardware regression: compiled-path correctness on the REAL
+chip, machine-readable (VERDICT r3 ask #4).
+
+One command; asserts exact agreement of every compiled traversal path at
+scale and writes a JSON result file a judge (or CI on real hardware) can
+read.  Covers, per scene scale (318k and 1M tris by default):
+
+  - HBM-streaming Pallas kernel vs the jnp packet traversal (itself
+    parity-pinned against the per-ray reference walk in tests/test_bvh.py)
+    on coherent AND shuffled rays: exact hit ids (equal-t ties allowed —
+    shared mesh edges), distances to 1e-5;
+  - VMEM-resident kernel where the scene fits;
+  - 8-wide streaming kernel, same bar;
+  - ANY-HIT occlusion mode, exactly: with exclude=-1 and a finite
+    per-ray t_max the occlusion flag must equal the packet reference's
+    (t_nearest < t_max) — same predicate, independent path; plus the
+    exclusion invariants (never reports the excluded tri; exclusion can
+    only clear flags, never add).
+
+Usage:
+    python scripts/hw_regression.py                 # -> .runlogs/hw_regression.json
+    OUT=.runlogs/hw_regression_r04.json GRIDS=318,708 python scripts/hw_regression.py
+
+The reference traverses arbitrary-T scenes from device memory as a matter
+of course (/root/reference/src/BVH.cpp:63-120); this file is the evidence
+that the TPU stream path does too, correctly.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "tests"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+from scenes import heightfield_scene
+from elevenrender_tpu.ops import bvh as bvh_ops
+from elevenrender_tpu.ops.bvh_pallas import traverse_pallas
+from elevenrender_tpu.ops.bvh_wide import traverse_wide
+from elevenrender_tpu.ops.camera import camera_ray
+
+GRIDS = [int(g) for g in os.environ.get("GRIDS", "318,708").split(",")]
+RES = int(os.environ.get("RES", "512"))
+OUT = os.environ.get("OUT", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".runlogs", "hw_regression.json"))
+
+results = {"backend": jax.default_backend(),
+           "device": str(jax.devices()[0]),
+           "res": RES, "scenes": []}
+interp = jax.default_backend() == "cpu"
+ok_all = True
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def check(rec, name, cond, detail=""):
+    global ok_all
+    rec["checks"].append({"name": name, "ok": bool(cond), "detail": detail})
+    ok_all = ok_all and bool(cond)
+    log(f"  {'PASS' if cond else 'FAIL'} {name} {detail}")
+
+
+for GRID in GRIDS:
+    scene, config, ir = heightfield_scene(grid=GRID, res=RES, spp=1,
+                                          compat=False)
+    T = ir["tris"]["verts"].shape[0]
+    rec = {"grid": GRID, "tris": T, "depth": config.bvh_depth,
+           "max_leaf": config.bvh_max_leaf, "checks": []}
+    results["scenes"].append(rec)
+    log(f"scene grid={GRID}: tris={T} depth={config.bvh_depth} "
+        f"max_leaf={config.bvh_max_leaf}")
+
+    npix = RES * RES
+    idx = jnp.arange(npix, dtype=jnp.int32)
+    px, py = idx % RES, idx // RES
+    z = jnp.full((npix,), 0.5, jnp.float32)
+    cam = dict(ir["camera"])
+    cam["bokeh"] = config.bokeh
+    ray_o, ray_d = camera_ray(cam, RES, RES, px, py, z, z, z, z, z)
+    perm = jax.random.permutation(jax.random.PRNGKey(0), npix)
+    bp = ir["bvh_packed"]
+    fits_vmem = T <= 120_000
+
+    for name, (o, d) in (("coherent", (ray_o, ray_d)),
+                         ("shuffled", (ray_o[perm], ray_d[perm]))):
+        i_ref, t_ref = bvh_ops.traverse_packet(
+            ir["bvh"], ir["tris"]["verts"], o, d, depth=config.bvh_depth,
+            max_leaf=config.bvh_max_leaf, tile=config.packet_tile)
+        i_ref, t_ref = np.asarray(i_ref), np.asarray(t_ref)
+        fin = np.isfinite(t_ref)
+
+        def against_ref(i_x, t_x, label):
+            i_x, t_x = np.asarray(i_x), np.asarray(t_x)
+            diff = i_x != i_ref
+            ties = diff & fin & (t_x == t_ref)
+            mis = int((diff & ~ties).sum())
+            t_ok = (np.isfinite(t_x) == fin).all() and \
+                np.allclose(t_x[fin], t_ref[fin], rtol=1e-5, atol=1e-5)
+            check(rec, f"{name}/{label}", mis == 0 and t_ok,
+                  f"{mis} real mismatches, {int(ties.sum())} equal-t ties, "
+                  f"{int(fin.sum())} hits")
+
+        t0 = time.time()
+        i_s, t_s = traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
+                                   o, d, depth=config.bvh_depth,
+                                   max_leaf=config.bvh_max_leaf,
+                                   interpret=interp, stream=True,
+                                   sub=config.pallas_sub)
+        jax.block_until_ready(t_s)
+        against_ref(i_s, t_s, "stream")
+        rec[f"{name}_stream_ms"] = round((time.time() - t0) * 1e3, 1)
+
+        if fits_vmem:
+            i_v, t_v = traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
+                                       o, d, depth=config.bvh_depth,
+                                       max_leaf=config.bvh_max_leaf,
+                                       interpret=interp, stream=False,
+                                       sub=config.pallas_sub)
+            against_ref(i_v, t_v, "vmem")
+
+        if ir.get("bvh_wide") is not None:
+            bw = ir["bvh_wide"]
+            i_w, t_w = traverse_wide(bw["nodes"], bw["leaf"], bp["tris9"],
+                                     o, d, depth=config.bvh_depth,
+                                     max_leaf=config.bvh_max_leaf,
+                                     interpret=interp, stream=True,
+                                     sub=config.pallas_sub)
+            against_ref(i_w, t_w, "wide_stream")
+
+        # --- any-hit occlusion, exact predicate check --------------------
+        # t_max = 0.9 * t_nearest where hit (flag must CLEAR: strict <),
+        # else a mid-scene constant; with exclude=-1 the kernel's flag
+        # must equal (exists hit with t < t_max) == (t_nearest < t_max).
+        t_max = jnp.asarray(np.where(fin, 0.9 * np.where(fin, t_ref, 1.0),
+                                     3.0).astype(np.float32))
+        none_excl = jnp.full((npix,), -1, jnp.int32)
+        i_a, _ = traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
+                                 o, d, depth=config.bvh_depth,
+                                 max_leaf=config.bvh_max_leaf,
+                                 interpret=interp, stream=True,
+                                 sub=(config.shadow_pallas_sub
+                                      or config.pallas_sub),
+                                 exclude=none_excl, t_max=t_max)
+        flag = np.asarray(i_a) >= 0
+        want = t_ref < np.asarray(t_max)
+        mism = int((flag != want).sum())
+        check(rec, f"{name}/anyhit_tmax", mism == 0,
+              f"{mism} flag mismatches vs nearest predicate "
+              f"({int(want.sum())} occluded)")
+
+        # Exclusion invariants: excluding the nearest hit never reports
+        # it, and can only clear flags relative to no-exclusion (both
+        # with t_max=inf).
+        inf_t = jnp.full((npix,), jnp.inf, jnp.float32)
+        i_e, _ = traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
+                                 o, d, depth=config.bvh_depth,
+                                 max_leaf=config.bvh_max_leaf,
+                                 interpret=interp, stream=True,
+                                 sub=(config.shadow_pallas_sub
+                                      or config.pallas_sub),
+                                 exclude=jnp.asarray(i_ref), t_max=inf_t)
+        i_n, _ = traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
+                                 o, d, depth=config.bvh_depth,
+                                 max_leaf=config.bvh_max_leaf,
+                                 interpret=interp, stream=True,
+                                 sub=(config.shadow_pallas_sub
+                                      or config.pallas_sub),
+                                 exclude=none_excl, t_max=inf_t)
+        i_e, i_n = np.asarray(i_e), np.asarray(i_n)
+        self_hits = int(((i_e >= 0) & (i_e == i_ref)).sum())
+        monotone = int(((i_e >= 0) & (i_n < 0)).sum())
+        check(rec, f"{name}/anyhit_exclude",
+              self_hits == 0 and monotone == 0,
+              f"{self_hits} self-hits, {monotone} monotonicity violations "
+              f"({int((i_n >= 0).sum())} -> {int((i_e >= 0).sum())} occl)")
+
+results["ok"] = ok_all
+os.makedirs(os.path.dirname(OUT), exist_ok=True)
+with open(OUT, "w") as f:
+    json.dump(results, f, indent=1)
+log(f"{'ALL PASS' if ok_all else 'FAILURES'} -> {OUT}")
+sys.exit(0 if ok_all else 1)

@@ -10,8 +10,8 @@ Per ray-regime (coherent camera rays / Morton-sorted shuffled rays):
     scalar core (row fetch -> lane rotate -> slab -> 2 horizontal
     reductions -> branch); reported as measured cycles/visit,
   - VPU floor: vector flops actually issued (2 slab tests ~ 33 ops/visit
-    + 8 MT tests ~ 66 ops/leaf-row, each over sub*128 f32 lanes) at an
-    assumed ~2048 f32 lanes/cycle (2 VPU ALUs) @ 0.94 GHz,
+    + 8 MT tests ~ 66 ops/leaf-row, each over sub*128 f32 lanes) at
+    4096 f32 lanes/cycle (VPU_F32_PER_CYC) @ 0.94 GHz,
   - HBM floor (stream mode): B DMA bursts x rows2*512 B + ray/result IO
     at 819 GB/s (v5e).
 
@@ -56,7 +56,11 @@ stream = T > 120_000
 sub = config.pallas_sub
 tile = sub * 128
 NT = -(-npix // tile)
+# Mirror the kernel's DMA window exactly, including the 8-row alignment
+# (ops/bvh_pallas.py traverse_pallas; ADVICE r3 — the unaligned figure
+# understated bytes/burst).
 rows2 = (2 * config.bvh_max_leaf + 7) // 8 + 1
+rows2 = -(-rows2 // 8) * 8
 print(f"tris={T} depth={config.bvh_depth} max_leaf={config.bvh_max_leaf} "
       f"sub={sub} stream={stream} tiles={NT}")
 

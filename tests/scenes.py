@@ -136,6 +136,54 @@ def heightfield_scene(grid: int = 128, res: int = 256, spp: int = 16,
     return scene, config, ir
 
 
+def textured_heightfield_scene(grid: int = 708, res: int = 1024,
+                               spp: int = 16, compat: bool = False,
+                               bvh_depth=None):
+    """BASELINE config-5-shaped hard scene: ~2*(grid-1)^2 tris (708 ->
+    1M), checker albedo (bilinear) + flat normal map (nearest) so atlas
+    fetches and tangent-space normal mapping are in the compiled path,
+    HDRI sky + sun, and one point light so the merged any-hit shadow
+    launch (HDRI + light halves, t_max-limited) is exercised too."""
+    from elevenrender_tpu.scene.scene import PointLight
+
+    scene = Scene()
+    scene.add_mesh(heightfield_mesh(grid))
+
+    checker = np.zeros((64, 64, 3), np.float32)
+    yy, xx = np.mgrid[0:64, 0:64]
+    checker[..., 0] = ((xx // 8 + yy // 8) % 2).astype(np.float32)
+    checker[..., 1] = 0.5
+    checker[..., 2] = 0.3
+    nmap = np.full((32, 32, 3), 0.5, np.float32)
+    nmap[..., 2] = 1.0
+    scene.add_texture(Texture("checker", checker, Texture.FILTER_BILINEAR))
+    scene.add_texture(Texture("nmap", nmap, Texture.FILTER_NEAREST))
+
+    mat = Material(name="terrain", roughness=0.6, metallic=0.1)
+    mat.albedo_map = "checker"
+    mat.normal_map = "nmap"
+    mat.compute_aniso_alphas()
+    scene.add_material(mat)
+    scene.pair_textures()
+
+    sky = np.zeros((16, 32, 3), np.float32)
+    sky[:8] = [0.6, 0.7, 0.9]
+    sky[8:] = [0.2, 0.2, 0.2]
+    sky[3, 8] = [50.0, 45.0, 40.0]  # sun
+    scene.add_hdri(HDRI(Texture("sky", sky)))
+    scene.add_point_light(PointLight(
+        position=np.array([1.5, 3.0, -1.0], np.float32),
+        radiance=np.array([6.0, 5.5, 5.0], np.float32)))
+
+    scene.camera.position = np.array([0.0, 1.5, -4.0], np.float32)
+    scene.camera.rotation = np.array([15.0, 0.0, 0.0], np.float32)
+    scene.x_res = res
+    scene.y_res = res
+    config, ir = scene.build(bvh_depth=bvh_depth)
+    config = config.replace(sample_target=spp, compat=compat)
+    return scene, config, ir
+
+
 def cornell_scene(res: int = 64, compat: bool = True, spp: int = 4,
                   bvh_depth=None):
     scene = Scene()
