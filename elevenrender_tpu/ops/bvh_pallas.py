@@ -383,16 +383,261 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
              jnp.zeros((LANE,), jnp.int32)])
 
 
+def _kernel_frontier(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
+                     dx_ref, dy_ref, dz_ref, idx_out, t_out, *, depth,
+                     max_leaf, K, stack_smem, tri_scratch=None,
+                     dma_sem=None, rows2=0, counts_out=None,
+                     excl_ref=None, tmax_ref=None):
+    """Frontier-K walk: each while-loop step pops up to K stack entries
+    and processes them TOGETHER — K node-row fetches issue back-to-back
+    (independent dynamic-sublane loads), 2K slab tests batch on the VPU,
+    and the per-visit serialized scalar chain (fetch -> rotate ->
+    extract -> reduce -> branch) amortizes over K visits.  This is the
+    r3 roofline's stated frontier (docs/PERF.md: per-visit cost ~20x the
+    dependency-chain floor): trade strict near-first DFS ordering (the
+    frontier pops in LIFO blocks, so ordering is approximate and
+    best_t pruning slightly weaker -> a few % more visits) for a ~K-fold
+    cut in serialized steps.  Hit results are IDENTICAL up to equal-t
+    ties: the strict '<' nearest rule is order-independent.
+
+    Same tile/memory layout as _kernel; stream + any-hit modes work
+    unchanged (any-hit cares nothing for ordering — pure win).  Child
+    ordering uses the near heuristic WITHIN an entry (right pushed
+    first, nearer child last so it pops first).
+    """
+    D = depth
+    stream = tri_scratch is not None
+    count = counts_out is not None
+    any_hit = excl_ref is not None
+
+    ox = ox_ref[...]
+    oy = oy_ref[...]
+    oz = oz_ref[...]
+    dx = dx_ref[...]
+    dy = dy_ref[...]
+    dz = dz_ref[...]
+    if any_hit:
+        excl = excl_ref[...]
+        tmax0 = tmax_ref[...]
+    inv_x = 1.0 / dx
+    inv_y = 1.0 / dy
+    inv_z = 1.0 / dz
+
+    def aabb_any(box, best_t):
+        bx1, by1, bz1, bx2, by2, bz2 = box
+        t1 = (bx1 - ox) * inv_x
+        t2 = (bx2 - ox) * inv_x
+        t3 = (by1 - oy) * inv_y
+        t4 = (by2 - oy) * inv_y
+        t5 = (bz1 - oz) * inv_z
+        t6 = (bz2 - oz) * inv_z
+
+        def mn(a, b):
+            return jnp.where(a < b, a, b)
+
+        def mx(a, b):
+            return jnp.where(a > b, a, b)
+
+        tmin = mx(mx(mn(t1, t2), mn(t3, t4)), mn(t5, t6))
+        tmax = mn(mn(mx(t1, t2), mx(t3, t4)), mx(t5, t6))
+        hit = ~((tmax < 0.0) | (tmin > tmax)) & (tmin < best_t)
+        near = jnp.min(jnp.where(hit, tmin, jnp.inf))
+        return jnp.any(hit), near
+
+    def leaf_scan(frm, to, best_idx, best_t, base_row=None):
+        n_groups = jnp.where(to > frm,
+                             ((to - 1) >> 3) - (frm >> 3) + 1, 0)
+
+        def group_body(g, carry):
+            best_idx, best_t = carry
+            row_i = (frm >> 3) + g
+            if stream:
+                rel = jnp.clip(row_i - base_row, 0, rows2 - 1)
+                trow = _row_vec(tri_scratch, rel)
+                row_i = jnp.minimum(row_i, tri_ref.shape[0] - 1)
+            else:
+                row_i = jnp.minimum(row_i, tri_ref.shape[0] - 1)
+                trow = _row_vec(tri_ref, row_i)
+            for e in range(ENTRIES_PER_ROW):
+                slot = (row_i << 3) + e
+                base = e * ENTRY_LANES
+                v0x = trow[0, base + 0]
+                v0y = trow[0, base + 1]
+                v0z = trow[0, base + 2]
+                e1x = trow[0, base + 3]
+                e1y = trow[0, base + 4]
+                e1z = trow[0, base + 5]
+                e2x = trow[0, base + 6]
+                e2y = trow[0, base + 7]
+                e2z = trow[0, base + 8]
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                in_leaf = (slot >= frm) & (slot < to)
+                ok = (in_leaf
+                      & (jnp.abs(det) > 1e-7)
+                      & (u >= 0.0) & (u <= 1.0)
+                      & (v >= 0.0) & (u + v <= 1.0)
+                      & (t >= 0.0) & (t < best_t))
+                if any_hit:
+                    ok = ok & (slot != excl)
+                    best_idx = jnp.where(ok, slot, best_idx)
+                    best_t = jnp.where(ok, -jnp.inf, best_t)
+                else:
+                    best_idx = jnp.where(ok, slot, best_idx)
+                    best_t = jnp.where(ok, t, best_t)
+            return best_idx, best_t
+
+        return jax.lax.fori_loop(0, n_groups, group_body,
+                                 (best_idx, best_t))
+
+    def cond(state):
+        return state[0] > 0
+
+    def body(state):
+        if count:
+            sp, best_idx, best_t, visits, leafrows, dmas = state
+        else:
+            sp, best_idx, best_t = state
+        k = jnp.minimum(sp, K)
+        # Masked block pop: entry j is stack[sp-1-j], j < k.  All K
+        # SMEM reads are independent — they issue together.
+        ent = [(stack_smem[jnp.maximum(sp - 1 - j, 0), 0],
+                stack_smem[jnp.maximum(sp - 1 - j, 0), 1],
+                j < k) for j in range(K)]
+        sp = sp - k
+
+        # Phase 1 (batched): fetch all K rows + run all 2K slab tests.
+        # The fetches/rotates/extracts are mutually independent scalar
+        # chains; Mosaic can overlap them where the single-entry walk
+        # serializes end-to-end.
+        tests = []
+        for node, ndep, active in ent:
+            row = _row_vec(nodes_ref, node >> 3)
+            f = _entry_scalars(row, node & 7, range(12))
+            l_over, l_near = aabb_any(f[0:6], best_t)
+            r_over, r_near = aabb_any(f[6:12], best_t)
+            tests.append((l_over & active, r_over & active,
+                          l_near, r_near))
+        if count:
+            for _, _, active in ent:
+                visits = visits + jnp.where(active, 1, 0)
+
+        # Phase 2 (sequential, short): leaf scans + stack pushes.
+        for (node, ndep, active), (l_over, r_over, l_near, r_near) \
+                in zip(ent, tests):
+            at_leaf_parent = ndep == D - 1
+
+            def do_leaves(c):
+                if count:
+                    best_idx, best_t, leafrows, dmas = c
+                else:
+                    best_idx, best_t = c
+                lrow = _row_vec(leaf_ref, node >> 3)
+                lf, lt, rf, rt = _entry_scalars(lrow, node & 7, range(4))
+                base_row = None
+                if stream:
+                    base_row = lf >> 3
+                    dma = pltpu.make_async_copy(
+                        tri_ref.at[pl.ds(base_row, rows2), :],
+                        tri_scratch, dma_sem)
+                    dma.start()
+                    dma.wait()
+                sc = jax.lax.cond(r_over,
+                                  lambda c: leaf_scan(rf, rt, *c, base_row),
+                                  lambda c: c, (best_idx, best_t))
+                sc = jax.lax.cond(l_over,
+                                  lambda c: leaf_scan(lf, lt, *c, base_row),
+                                  lambda c: c, sc)
+                if not count:
+                    return sc
+
+                def groups(f, t):
+                    return jnp.where(t > f, ((t - 1) >> 3) - (f >> 3) + 1, 0)
+
+                leafrows = leafrows + jnp.where(l_over, groups(lf, lt), 0) \
+                    + jnp.where(r_over, groups(rf, rt), 0)
+                return sc + (leafrows, dmas + 1)
+
+            leaf_carry = ((best_idx, best_t, leafrows, dmas) if count
+                          else (best_idx, best_t))
+            leaf_carry = jax.lax.cond(
+                at_leaf_parent & (l_over | r_over), do_leaves,
+                lambda c: c, leaf_carry)
+            if count:
+                best_idx, best_t, leafrows, dmas = leaf_carry
+            else:
+                best_idx, best_t = leaf_carry
+
+            trav_l = l_over & ~at_leaf_parent
+            trav_r = r_over & ~at_leaf_parent
+            shift = jnp.int32(1) << (D - ndep)
+            l_idx = node + 1
+            r_idx = node + shift
+            l_first = l_near <= r_near
+            # Push far child first, near second (near pops first).
+            first_idx = jnp.where(l_first, l_idx, r_idx)
+            second_idx = jnp.where(l_first, r_idx, l_idx)
+            first_ok = jnp.where(l_first, trav_l, trav_r)
+            second_ok = jnp.where(l_first, trav_r, trav_l)
+
+            @pl.when(second_ok)
+            def _():
+                stack_smem[sp, 0] = second_idx
+                stack_smem[sp, 1] = ndep + 1
+
+            sp = sp + jnp.where(second_ok, 1, 0)
+
+            @pl.when(first_ok)
+            def _():
+                stack_smem[sp, 0] = first_idx
+                stack_smem[sp, 1] = ndep + 1
+
+            sp = sp + jnp.where(first_ok, 1, 0)
+
+        if count:
+            return sp, best_idx, best_t, visits, leafrows, dmas
+        return sp, best_idx, best_t
+
+    # Root on the stack; pop-blocks of K from here on.
+    stack_smem[0, 0] = 0
+    stack_smem[0, 1] = 0
+    best_t0 = tmax0 if any_hit else jnp.full(ox.shape, jnp.inf, jnp.float32)
+    init = (jnp.int32(1), jnp.full(ox.shape, -1, jnp.int32), best_t0)
+    if count:
+        init = init + (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    out = jax.lax.while_loop(cond, body, init)
+    idx_out[...] = out[1]
+    t_out[...] = out[2]
+    if count:
+        counts_out[...] = jnp.stack(
+            [jnp.full((LANE,), out[3], jnp.int32),
+             jnp.full((LANE,), out[4], jnp.int32),
+             jnp.full((LANE,), out[5], jnp.int32),
+             jnp.zeros((LANE,), jnp.int32)])
+
+
 @functools.partial(jax.jit, static_argnames=("depth", "max_leaf",
                                              "interpret", "chunk", "stream",
                                              "sub", "count_steps", "order",
-                                             "leaf_mode"))
+                                             "leaf_mode", "frontier"))
 def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                     max_leaf: int, interpret: bool = False,
                     chunk: int = 512, stream: bool = False,
                     sub: int = SUB, count_steps: bool = False,
                     order: str = "near", exclude=None, t_max=None,
-                    leaf_mode: str = "full"):
+                    leaf_mode: str = "full", frontier: int = 1):
     """nodes/leaf/tris9: packed tables from pack_bvh_for_pallas (8
     entries per 128-lane row).  ray_o/ray_d: [N, 3] (unit directions).
     Returns (idx [N] i32 — leaf-order tri index, -1 on miss; t [N] f32).
@@ -437,6 +682,13 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
     point-light distance, or +inf) and then goes inert, so
     fully-occluded tiles stop walking; `idx >= 0` is the occlusion
     flag and the returned t is NOT a distance (-inf on hit).
+
+    ``frontier``: > 1 selects the frontier-K walk (_kernel_frontier):
+    each serialized while-step processes K stack entries together
+    (batched row fetches + 2K slab tests), amortizing the scalar chain;
+    ordering becomes approximate (slightly more visits), results
+    identical up to equal-t ties.  ``order``/``leaf_mode`` apply only
+    to the classic kernel (frontier ignores them).
     """
     any_hit = exclude is not None
     assert any_hit == (t_max is not None), \
@@ -481,7 +733,10 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
     # a multiple of 8 — 16 rows vs 22/29/35 for the crashing ones).
     rows2 = (2 * max_leaf + 7) // ENTRIES_PER_ROW + 1
     rows2 = -(-rows2 // 8) * 8
-    scratch_shapes = [pltpu.SMEM((depth + 2, 2), jnp.int32)]
+    # Frontier-K stack bound: each step pops <= K and pushes <= 2 per
+    # pop, so pending entries grow by <= K per level descended.
+    stack_rows = (depth + 2) if frontier <= 1 else (2 * frontier * depth + 8)
+    scratch_shapes = [pltpu.SMEM((stack_rows, 2), jnp.int32)]
     if stream:
         tris_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch_shapes += [pltpu.VMEM((rows2, LANE), jnp.float32),
@@ -553,15 +808,26 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                     ref[0] = v
             return _W()
 
-        _kernel(nodes_ref, leaf_ref, tri_ref, *sq[:6],
+        if frontier > 1:
+            _kernel_frontier(
+                nodes_ref, leaf_ref, tri_ref, *sq[:6],
                 squeeze_out(idx_out), squeeze_out(t_out),
-                depth=depth, max_leaf=max_leaf, stack_smem=stack,
-                tri_scratch=tri_scratch, dma_sem=dma_sem, rows2=rows2,
+                depth=depth, max_leaf=max_leaf, K=frontier,
+                stack_smem=stack, tri_scratch=tri_scratch,
+                dma_sem=dma_sem, rows2=rows2,
                 counts_out=squeeze_out(counts) if count_steps else None,
-                order=order,
                 excl_ref=_Sq(sq[6]) if any_hit else None,
-                tmax_ref=_Sq(sq[7]) if any_hit else None,
-                leaf_mode=leaf_mode)
+                tmax_ref=_Sq(sq[7]) if any_hit else None)
+        else:
+            _kernel(nodes_ref, leaf_ref, tri_ref, *sq[:6],
+                    squeeze_out(idx_out), squeeze_out(t_out),
+                    depth=depth, max_leaf=max_leaf, stack_smem=stack,
+                    tri_scratch=tri_scratch, dma_sem=dma_sem, rows2=rows2,
+                    counts_out=squeeze_out(counts) if count_steps else None,
+                    order=order,
+                    excl_ref=_Sq(sq[6]) if any_hit else None,
+                    tmax_ref=_Sq(sq[7]) if any_hit else None,
+                    leaf_mode=leaf_mode)
 
     call = pl.pallas_call(
         kernel,

@@ -150,13 +150,65 @@ def nlm_denoise(color, normal=None, albedo=None, radius: int = 4,
     return acc / jnp.maximum(wacc, 1e-8)
 
 
+def _down2(x):
+    """2x2 average pool (even-cropped: callers pad odd extents)."""
+    h2, w2 = (x.shape[0] // 2) * 2, (x.shape[1] // 2) * 2
+    x = x[:h2, :w2]
+    return (x[0::2, 0::2] + x[1::2, 0::2]
+            + x[0::2, 1::2] + x[1::2, 1::2]) * 0.25
+
+
+def _up2(x, h, w):
+    """2x nearest upsample + 3x3 box (cheap bilinear-ish — the band being
+    upsampled is a low-frequency correction, so block edges must not
+    survive), cropped/edge-padded to (h, w)."""
+    r = jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
+    if r.shape[0] < h:
+        r = jnp.concatenate([r, r[-1:]], axis=0)
+    if r.shape[1] < w:
+        r = jnp.concatenate([r, r[:, -1:]], axis=1)
+    return _box3(r[:h, :w])
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "radius"))
+def nlm_denoise_ms(color, normal=None, albedo=None, levels: int = 3,
+                   radius: int = 4):
+    """Multi-scale guided NL-means (r4 quality ratchet, VERDICT r3 #7).
+
+    Single-scale NL-means only reaches noise whose correlation length
+    fits inside its (2r+1)^2 window; low-spp Monte Carlo renders also
+    carry LOW-frequency blotches (indirect-bounce variance) that survive
+    it.  Standard MC-denoiser fix: a coarse-to-fine pyramid — denoise
+    each 2x-downsampled level (downsampling itself averages 4 samples,
+    halving sigma), then replace each finer level's low band with the
+    upsampled coarser result:
+
+        R_L = D_L;   R_l = D_l + up(R_{l+1} - down(D_l))
+
+    so the finest level keeps its own high-frequency detail (edges,
+    texture — protected by the guides) while inheriting the smoothed
+    low bands.  A/B vs single-scale and vs albedo demodulation:
+    .runlogs/denoise_ab_r04.log (scripts/denoise_ab.py).
+    """
+    h, w = color.shape[0], color.shape[1]
+    dn = nlm_denoise(color, normal, albedo, radius=radius)
+    if levels <= 1 or min(h, w) < 32:
+        return dn
+    c1 = _down2(color)
+    n1 = None if normal is None else _down2(normal)
+    a1 = None if albedo is None else _down2(albedo)
+    r1 = nlm_denoise_ms(c1, n1, a1, levels=levels - 1, radius=radius)
+    return dn + _up2(r1 - _down2(dn), h, w)
+
+
 def denoise(width: int, height: int, raw, normal=None, albedo=None):
     """DenoiseManager::denoise-shaped entry: flat float4 [H*W*4] in/out.
 
-    With guides: albedo-guided NL-means (nlm_denoise — demodulation was
-    tried and measured worse, see module docstring); without:
-    the color-only cross-bilateral (the reference's OIDN call is also
-    color-only, Managers.cpp:319-343)."""
+    With guides: multi-scale albedo-guided NL-means (nlm_denoise_ms —
+    demodulation was tried and measured worse, see module docstring and
+    .runlogs/denoise_ab_r04.log); without: the color-only cross-bilateral
+    (the reference's OIDN call is also color-only, Managers.cpp:319-343).
+    """
     img = jnp.asarray(raw).reshape(height, width, 4)
 
     def guide(x):
@@ -164,7 +216,7 @@ def denoise(width: int, height: int, raw, normal=None, albedo=None):
                 else jnp.asarray(x).reshape(height, width, 4)[:, :, :3])
 
     if normal is not None or albedo is not None:
-        out = nlm_denoise(img[:, :, :3], guide(normal), guide(albedo))
+        out = nlm_denoise_ms(img[:, :, :3], guide(normal), guide(albedo))
     else:
         out = bilateral_denoise(img[:, :, :3])
     res = jnp.concatenate([out, jnp.ones((height, width, 1), out.dtype)],

@@ -115,7 +115,7 @@ def _accum_bwd_chunk(config, ir, params, seed, rng, n: int):
 
 
 def render_loss_and_grad_accum(config, ir, params, target, n_samples: int,
-                               chunk: int = 8):
+                               chunk: int | None = None):
     """Flat-memory n-sample gradient: the two-pass estimator.
 
     Differentiating render_loss_and_grad at the BASELINE shape (1024²,
@@ -132,17 +132,22 @@ def render_loss_and_grad_accum(config, ir, params, target, n_samples: int,
     1-spp backward pass regardless of n_samples.  This is the
     radiative-backprop two-pass structure expressed through XLA autodiff.
 
-    ``chunk``: samples per EXECUTABLE.  Both passes are driven by a host
+    ``chunk``: samples per DISPATCH.  Both passes are driven by a host
     loop over jitted chunk programs instead of one 64-sample executable:
-    a single monolithic program packs ~20 Pallas launches per sample ×
-    n_samples and its first real-chip execution crashed the TPU worker
-    (r3); chunks of 8 keep each executable at the size the forward
-    serving path (render_samples_jit) already runs safely.
+    the monolithic 64-sample program's ~300 s single dispatch killed the
+    TPU worker in r3 — root-caused in r4 to single-dispatch WALL TIME
+    (the tunnel worker's envelope is between ~46 s and ~140 s,
+    scripts/multilaunch.py; docs/PERF.md).  Default (None) asks
+    integrator.recommended_samples_per_dispatch, which bounds the chunk
+    by scene scale (8 at 66k VMEM-mode ~ 19 s, 1 at 1M stream ~ 25 s).
 
     Native mode only (compat's sample-count-starts-at-1 average
     intentionally dims; gradients target the unbiased native estimate).
     """
     assert not config.compat, "accumulated gradients are native-mode only"
+    if chunk is None:
+        from .integrator import recommended_samples_per_dispatch
+        chunk = recommended_samples_per_dispatch(config, ir)
     merged = _merge(ir, params)
 
     # ---- pass 1: forward only, chunked ---------------------------------
@@ -171,7 +176,8 @@ def render_loss_and_grad_accum(config, ir, params, target, n_samples: int,
     return loss, grads
 
 
-def fwd_bwd_step_accum(config, ir, target, n_samples: int, chunk: int = 8):
+def fwd_bwd_step_accum(config, ir, target, n_samples: int,
+                       chunk: int | None = None):
     """The BASELINE headline unit at its own shape: n-sample render +
     n-sample accumulated backward, flat memory (BASELINE.md:21)."""
     params = {"materials": float_subtree(ir["materials"])}

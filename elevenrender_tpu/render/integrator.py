@@ -84,27 +84,19 @@ def _resolve_trace_mode(config, ir) -> str:
             # table (depth 15 = 8MB; an explicit deeper depth must fall
             # through to the packet warning below, ADVICE r3).
             mode = "pallas"
-        elif tris.shape[0] <= 360_000 and config.bvh_depth <= 14:
-            # HBM-streaming kernel.  ISOLATED traversal is validated on
-            # hardware to 1M tris / depth 15 (r3 stream_bisect: 565 ms
-            # per 1M coherent rays, after the 8-aligned-DMA-window fix),
-            # but the full INTEGRATOR composition (~80 stream launches
-            # per 8-sample executable, incl. the any-hit variant)
-            # crashed the worker at 1M in its single r3 attempt — so
-            # auto keeps stream inside the isolated-validated mid range
-            # and routes larger scenes to the safe packet path until the
-            # composition is cleared.  Explicit trace_mode=
-            # "pallas_stream" remains available at any size.
-            mode = "pallas_stream"  # tris DMA-streamed from HBM
         elif config.bvh_depth <= 15:
-            from ..utils.logging import get_logger
-            get_logger().warning(
-                "%d tris: the full-integrator pallas_stream composition "
-                "is not yet cleared at this scale (r3, docs/PERF.md); "
-                "auto mode is taking the jnp packet path. Force "
-                "trace_mode='pallas_stream' to use the fast kernel.",
-                tris.shape[0])
-            mode = "packet"
+            # HBM-streaming kernel, ANY triangle count (the node/leaf
+            # tables stay VMEM: 2^(depth+8) bytes, 8MB at depth 15 —
+            # matches the reference's arbitrary-T device traversal,
+            # BVH.cpp:63-120).  r3's auto mode clamped this to 360k
+            # because the full composition crashed the worker at 1M;
+            # r4 root-caused that to single-dispatch WALL TIME (the
+            # tunnel worker dies somewhere between 46 s and 140 s per
+            # dispatch — scripts/multilaunch.py ladder, docs/PERF.md),
+            # not to the kernel or the integrator: the fix is bounding
+            # samples per dispatch (recommended_samples_per_dispatch),
+            # which every driver now applies.
+            mode = "pallas_stream"  # tris DMA-streamed from HBM
         else:
             # Only reachable with an EXPLICIT bvh_depth > 15 (auto depth
             # clamps at STREAM_MAX_DEPTH, ops/bvh.default_depth); the
@@ -122,6 +114,31 @@ def _resolve_trace_mode(config, ir) -> str:
         # shallow trees fall back to the binary kernel.
         mode = "pallas" if mode == "pallas_wide" else "pallas_stream"
     return mode
+
+
+def recommended_samples_per_dispatch(config, ir, default: int = 8) -> int:
+    """Samples per jitted dispatch, bounded so one dispatch's WALL TIME
+    stays inside the execution envelope the hardware path tolerates.
+
+    The axon-tunneled v5e worker dies when a single dispatch runs
+    somewhere past ~1-2 minutes (r4 scripts/multilaunch.py: the same
+    cached 1M-tri stream program survives 46 s and dies at ~140 s; r3's
+    monolithic 64-spp gradient executable, ~300 s, and its 8-sample
+    1M-tri chunk, ~150-250 s, both died the same way — docs/PERF.md).
+    A 1M-tri stream-mode sample step is ~15-25 s, so at stream scale one
+    sample per dispatch keeps a comfortable margin; the 66k VMEM-mode
+    step is ~2.3 s, so the default 8 stays.  This is a perf/stability
+    knob only — results are identical at any chunking.
+    """
+    tris = ir["tris"]["verts"].shape[0]
+    mode = _resolve_trace_mode(config, ir)
+    if mode in ("pallas_stream", "pallas_wide_stream", "packet") \
+            and tris > 360_000:
+        return 1
+    if mode in ("pallas_stream", "pallas_wide_stream", "packet") \
+            and tris > 120_000:
+        return min(default, 4)
+    return default
 
 
 def _uses_sort(config, ir) -> bool:

@@ -88,7 +88,10 @@ class Renderer:
         granularity on the progressive-sample axis."""
         target = sample_target or self.config.sample_target
         if samples_per_dispatch is None:
-            samples_per_dispatch = max(1, int(self.config.block_size))
+            from .integrator import recommended_samples_per_dispatch
+            samples_per_dispatch = min(
+                max(1, int(self.config.block_size)),
+                recommended_samples_per_dispatch(self.config, self.ir))
         chunk = max(1, min(samples_per_dispatch, target))
         if self._thread is not None and self._thread.is_alive():
             # Restart while rendering: stop at the next chunk boundary,

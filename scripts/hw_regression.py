@@ -93,67 +93,97 @@ for GRID in GRIDS:
     bp = ir["bvh_packed"]
     fits_vmem = T <= 120_000
 
+    # Single-dispatch wall time must stay under the worker watchdog
+    # (~60 s, docs/PERF.md): at 1M tris the jnp packet reference on
+    # shuffled rays blows it in one 262k-ray dispatch (found the hard
+    # way), so every traversal here is driven in ray slices.
+    n_slices = 4 if T > 400_000 else 1
+    sl = npix // n_slices
+
+    def sliced(fn, o, d, *extra):
+        outs = [fn(o[i * sl:(i + 1) * sl], d[i * sl:(i + 1) * sl],
+                   *[e[i * sl:(i + 1) * sl] for e in extra])
+                for i in range(n_slices)]
+        return tuple(np.concatenate([np.asarray(x[j]) for x in outs])
+                     for j in range(2))
+
     for name, (o, d) in (("coherent", (ray_o, ray_d)),
                          ("shuffled", (ray_o[perm], ray_d[perm]))):
-        i_ref, t_ref = bvh_ops.traverse_packet(
-            ir["bvh"], ir["tris"]["verts"], o, d, depth=config.bvh_depth,
-            max_leaf=config.bvh_max_leaf, tile=config.packet_tile)
-        i_ref, t_ref = np.asarray(i_ref), np.asarray(t_ref)
+        i_ref, t_ref = sliced(
+            lambda o, d: bvh_ops.traverse_packet(
+                ir["bvh"], ir["tris"]["verts"], o, d,
+                depth=config.bvh_depth, max_leaf=config.bvh_max_leaf,
+                tile=config.packet_tile), o, d)
         fin = np.isfinite(t_ref)
 
         def against_ref(i_x, t_x, label):
             i_x, t_x = np.asarray(i_x), np.asarray(t_x)
             diff = i_x != i_ref
             ties = diff & fin & (t_x == t_ref)
-            mis = int((diff & ~ties).sum())
+            real = diff & ~ties
+            mis = int(real.sum())
             t_ok = (np.isfinite(t_x) == fin).all() and \
                 np.allclose(t_x[fin], t_ref[fin], rtol=1e-5, atol=1e-5)
-            check(rec, f"{name}/{label}", mis == 0 and t_ok,
-                  f"{mis} real mismatches, {int(ties.sum())} equal-t ties, "
-                  f"{int(fin.sum())} hits")
+            detail = (f"{mis} real mismatches, {int(ties.sum())} equal-t "
+                      f"ties, {int(fin.sum())} hits")
+            if mis:
+                lanes = np.nonzero(real)[0][:5]
+                detail += "".join(
+                    f"; lane {k}: got (idx={i_x[k]}, t={t_x[k]:.9g}) "
+                    f"vs ref (idx={i_ref[k]}, t={t_ref[k]:.9g})"
+                    for k in lanes)
+            check(rec, f"{name}/{label}", mis == 0 and t_ok, detail)
 
         t0 = time.time()
-        i_s, t_s = traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
-                                   o, d, depth=config.bvh_depth,
-                                   max_leaf=config.bvh_max_leaf,
-                                   interpret=interp, stream=True,
-                                   sub=config.pallas_sub)
-        jax.block_until_ready(t_s)
+        i_s, t_s = sliced(
+            lambda o, d: traverse_pallas(
+                bp["nodes"], bp["leaf"], bp["tris9"], o, d,
+                depth=config.bvh_depth, max_leaf=config.bvh_max_leaf,
+                interpret=interp, stream=True, sub=config.pallas_sub),
+            o, d)
         against_ref(i_s, t_s, "stream")
         rec[f"{name}_stream_ms"] = round((time.time() - t0) * 1e3, 1)
 
         if fits_vmem:
-            i_v, t_v = traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
-                                       o, d, depth=config.bvh_depth,
-                                       max_leaf=config.bvh_max_leaf,
-                                       interpret=interp, stream=False,
-                                       sub=config.pallas_sub)
+            i_v, t_v = sliced(
+                lambda o, d: traverse_pallas(
+                    bp["nodes"], bp["leaf"], bp["tris9"], o, d,
+                    depth=config.bvh_depth, max_leaf=config.bvh_max_leaf,
+                    interpret=interp, stream=False, sub=config.pallas_sub),
+                o, d)
             against_ref(i_v, t_v, "vmem")
 
         if ir.get("bvh_wide") is not None:
             bw = ir["bvh_wide"]
-            i_w, t_w = traverse_wide(bw["nodes"], bw["leaf"], bp["tris9"],
-                                     o, d, depth=config.bvh_depth,
-                                     max_leaf=config.bvh_max_leaf,
-                                     interpret=interp, stream=True,
-                                     sub=config.pallas_sub)
+            i_w, t_w = sliced(
+                lambda o, d: traverse_wide(
+                    bw["nodes"], bw["leaf"], bp["tris9"], o, d,
+                    depth=config.bvh_depth, max_leaf=config.bvh_max_leaf,
+                    interpret=interp, stream=True, sub=config.pallas_sub),
+                o, d)
             against_ref(i_w, t_w, "wide_stream")
 
         # --- any-hit occlusion, exact predicate check --------------------
-        # t_max = 0.9 * t_nearest where hit (flag must CLEAR: strict <),
-        # else a mid-scene constant; with exclude=-1 the kernel's flag
-        # must equal (exists hit with t < t_max) == (t_nearest < t_max).
-        t_max = jnp.asarray(np.where(fin, 0.9 * np.where(fin, t_ref, 1.0),
+        # Alternate lanes: t_max = 0.9 * t_nearest (flag must CLEAR —
+        # no hit can be closer than the nearest) and 1.1 * t_nearest
+        # (flag must SET — the nearest itself qualifies); misses get a
+        # mid-scene constant (must stay clear).  With exclude=-1 the
+        # kernel's flag must equal (t_nearest < t_max) exactly.
+        fac = np.where(np.arange(npix) % 2 == 0, 0.9, 1.1)
+        t_max = jnp.asarray(np.where(fin, fac * np.where(fin, t_ref, 1.0),
                                      3.0).astype(np.float32))
         none_excl = jnp.full((npix,), -1, jnp.int32)
-        i_a, _ = traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
-                                 o, d, depth=config.bvh_depth,
-                                 max_leaf=config.bvh_max_leaf,
-                                 interpret=interp, stream=True,
-                                 sub=(config.shadow_pallas_sub
-                                      or config.pallas_sub),
-                                 exclude=none_excl, t_max=t_max)
-        flag = np.asarray(i_a) >= 0
+        ssub = config.shadow_pallas_sub or config.pallas_sub
+
+        def anyhit(o, d, excl, tm):
+            return traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
+                                   o, d, depth=config.bvh_depth,
+                                   max_leaf=config.bvh_max_leaf,
+                                   interpret=interp, stream=True,
+                                   sub=ssub, exclude=excl, t_max=tm)
+
+        i_a, _ = sliced(anyhit, o, d, none_excl, t_max)
+        flag = i_a >= 0
         want = t_ref < np.asarray(t_max)
         mism = int((flag != want).sum())
         check(rec, f"{name}/anyhit_tmax", mism == 0,
@@ -164,21 +194,8 @@ for GRID in GRIDS:
         # it, and can only clear flags relative to no-exclusion (both
         # with t_max=inf).
         inf_t = jnp.full((npix,), jnp.inf, jnp.float32)
-        i_e, _ = traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
-                                 o, d, depth=config.bvh_depth,
-                                 max_leaf=config.bvh_max_leaf,
-                                 interpret=interp, stream=True,
-                                 sub=(config.shadow_pallas_sub
-                                      or config.pallas_sub),
-                                 exclude=jnp.asarray(i_ref), t_max=inf_t)
-        i_n, _ = traverse_pallas(bp["nodes"], bp["leaf"], bp["tris9"],
-                                 o, d, depth=config.bvh_depth,
-                                 max_leaf=config.bvh_max_leaf,
-                                 interpret=interp, stream=True,
-                                 sub=(config.shadow_pallas_sub
-                                      or config.pallas_sub),
-                                 exclude=none_excl, t_max=inf_t)
-        i_e, i_n = np.asarray(i_e), np.asarray(i_n)
+        i_e, _ = sliced(anyhit, o, d, jnp.asarray(i_ref), inf_t)
+        i_n, _ = sliced(anyhit, o, d, none_excl, inf_t)
         self_hits = int(((i_e >= 0) & (i_e == i_ref)).sum())
         monotone = int(((i_e >= 0) & (i_n < 0)).sum())
         check(rec, f"{name}/anyhit_exclude",

@@ -185,12 +185,20 @@ def textured_heightfield_scene(grid: int = 708, res: int = 1024,
 
 
 def cornell_scene(res: int = 64, compat: bool = True, spp: int = 4,
-                  bvh_depth=None):
+                  bvh_depth=None, glossy: bool = False):
+    """``glossy``: make the white walls a rough-specular metal — the
+    high-variance glossy-noise scene for denoiser evaluation (the lamp's
+    reflection sprays fireflies across every wall at low spp)."""
     scene = Scene()
     meshes, _ = load_objs(CORNELL_OBJ)
     scene.add_meshes(meshes)
 
-    white = Material(name="white", albedo=np.array([0.73, 0.73, 0.73], np.float32))
+    if glossy:
+        white = Material(name="white",
+                         albedo=np.array([0.73, 0.73, 0.73], np.float32),
+                         roughness=0.2, metallic=0.7)
+    else:
+        white = Material(name="white", albedo=np.array([0.73, 0.73, 0.73], np.float32))
     red = Material(name="red", albedo=np.array([0.65, 0.05, 0.05], np.float32))
     green = Material(name="green", albedo=np.array([0.12, 0.45, 0.15], np.float32))
     lamp = Material(name="lamp", albedo=np.array([0.0, 0.0, 0.0], np.float32),

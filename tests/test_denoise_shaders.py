@@ -80,10 +80,10 @@ def test_placeholder_shader_is_yellow():
 
 
 def test_denoise_reduces_error_vs_converged():
-    """Quality gate (VERDICT r1 item 9, tightened r2->r3): on a noisy
-    low-spp Cornell render, the guided denoiser must cut MSE against a
-    converged render to under 0.35x (measured 0.24x; the r2 bilateral
-    managed 0.28x and gated at 0.5x) — the OIDN bar the reference wraps,
+    """Quality gate (tightened every round: r2 bilateral 0.5x -> r3
+    single-scale NLM 0.35x -> r4 multi-scale NLM 0.25x; measured 0.16x,
+    full A/B table incl. the rejected albedo demodulation in
+    .runlogs/denoise_ab_r04.log) — the OIDN bar the reference wraps,
     Managers.cpp:319-343."""
     from elevenrender_tpu.render.integrator import (init_state,
                                                     render_samples_jit)
@@ -101,18 +101,52 @@ def test_denoise_reduces_error_vs_converged():
     albedo = np.asarray(noisy_state["passes"][1]).reshape(res, res, 4)
 
     from elevenrender_tpu.render import denoise as dn
-    den = np.asarray(dn.nlm_denoise(
+    den = np.asarray(dn.nlm_denoise_ms(
         jnp.asarray(noisy), jnp.asarray(normal[..., :3]),
         jnp.asarray(albedo[..., :3])))
 
     mse_noisy = float(np.mean((noisy - ref) ** 2))
     mse_den = float(np.mean((den - ref) ** 2))
-    assert mse_den < 0.35 * mse_noisy, (mse_den, mse_noisy)
+    assert mse_den < 0.25 * mse_noisy, (mse_den, mse_noisy)
 
-    # The r2 cross-bilateral must not beat the shipped filter — if it
-    # does, the default regressed.
+    # The multi-scale default must beat its own single-scale inner
+    # filter AND the r2 cross-bilateral — regression fence for the
+    # shipped pipeline.
+    single = np.asarray(dn.nlm_denoise(
+        jnp.asarray(noisy), jnp.asarray(normal[..., :3]),
+        jnp.asarray(albedo[..., :3])))
+    mse_single = float(np.mean((single - ref) ** 2))
+    assert mse_den < mse_single * 1.02, (mse_den, mse_single)
     bil = np.asarray(dn.bilateral_denoise(
         jnp.asarray(noisy), jnp.asarray(normal[..., :3]),
         jnp.asarray(albedo[..., :3])))
     mse_bil = float(np.mean((bil - ref) ** 2))
     assert mse_den < mse_bil * 1.05, (mse_den, mse_bil)
+
+
+def test_denoise_glossy_scene_gate():
+    """r4 second gate scene (VERDICT r3 #7): metallic Cornell walls —
+    rough-specular noise + lamp-reflection fireflies.  Multi-scale NLM
+    measured 0.254x here (single-scale 0.298x, demodulation 0.357x,
+    .runlogs/denoise_ab_r04.log); gate at 0.30x."""
+    from elevenrender_tpu.render.integrator import (init_state,
+                                                    render_samples_jit)
+    from elevenrender_tpu.render import denoise as dn
+
+    res = 48
+    scene, config, ir = cornell_scene(res=res, spp=4, glossy=True)
+    config = config.replace(compat=False)
+
+    noisy_state = render_samples_jit(config, ir, init_state(config), 4)
+    ref_state = render_samples_jit(config, ir, init_state(config), 600)
+
+    ref = np.asarray(ref_state["passes"][0, :, :3]).reshape(res, res, 3)
+    noisy = np.asarray(noisy_state["passes"][0, :, :3]).reshape(res, res, 3)
+    normal = np.asarray(noisy_state["passes"][2, :, :3]).reshape(res, res, 3)
+    albedo = np.asarray(noisy_state["passes"][1, :, :3]).reshape(res, res, 3)
+
+    den = np.asarray(dn.nlm_denoise_ms(
+        jnp.asarray(noisy), jnp.asarray(normal), jnp.asarray(albedo)))
+    mse_noisy = float(np.mean((noisy - ref) ** 2))
+    mse_den = float(np.mean((den - ref) ** 2))
+    assert mse_den < 0.30 * mse_noisy, (mse_den, mse_noisy)

@@ -152,6 +152,48 @@ def test_wide_tile_widths_agree():
             np.testing.assert_array_equal(np.asarray(wt), ref[1])
 
 
+def test_frontier_matches_per_ray():
+    """Frontier-K walk (r4: K stack entries per serialized step): hit
+    ids/distances must match the per-ray reference exactly — traversal
+    order changes, the strict-'<' nearest result cannot.  Covers VMEM +
+    stream residencies, K=2/4, and the any-hit occlusion mode."""
+    tris, o, d = random_scene(800, 2000, seed=3)
+    bvh = build_bvh(tris)
+    st = tris[np.asarray(bvh["perm"])]
+    nodes, leaf, tris9 = pack_bvh_for_pallas(bvh, st)
+    dev = {k: jnp.asarray(bvh[k]) for k in
+           ("node_bmin", "node_bmax", "node_from", "node_to")}
+    ri, rt = traverse(dev, jnp.asarray(st), o, d, depth=bvh["depth"],
+                      max_leaf=bvh["max_leaf"])
+    hit = np.asarray(ri) >= 0
+    for K in (2, 4):
+        for stream in (False, True):
+            fi, ft = traverse_pallas(nodes, leaf, tris9, o, d,
+                                     depth=bvh["depth"],
+                                     max_leaf=bvh["max_leaf"],
+                                     interpret=True, sub=8,
+                                     stream=stream, frontier=K)
+            np.testing.assert_array_equal(np.asarray(fi), np.asarray(ri))
+            np.testing.assert_allclose(np.asarray(ft)[hit],
+                                       np.asarray(rt)[hit],
+                                       rtol=1e-5, atol=1e-6)
+
+    # Any-hit mode under the frontier walk: same flag as the classic
+    # kernel's any-hit (both are exact — docs in traverse_pallas).
+    N = o.shape[0]
+    rng = np.random.default_rng(5)
+    excl = jnp.asarray(rng.integers(-1, 800, N).astype(np.int32))
+    tmax = jnp.asarray(np.where(rng.random(N) < 0.5, np.inf,
+                                rng.uniform(1, 10, N)).astype(np.float32))
+    ai, _ = traverse_pallas(nodes, leaf, tris9, o, d, depth=bvh["depth"],
+                            max_leaf=bvh["max_leaf"], interpret=True,
+                            sub=8, exclude=excl, t_max=tmax)
+    fi, _ = traverse_pallas(nodes, leaf, tris9, o, d, depth=bvh["depth"],
+                            max_leaf=bvh["max_leaf"], interpret=True,
+                            sub=8, exclude=excl, t_max=tmax, frontier=4)
+    np.testing.assert_array_equal(np.asarray(fi) >= 0, np.asarray(ai) >= 0)
+
+
 def test_count_steps_counters():
     """count_steps (the roofline instrumentation, scripts/roofline.py)
     must not perturb results, and its counters must satisfy the walk's
