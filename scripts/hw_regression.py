@@ -119,7 +119,17 @@ for GRID in GRIDS:
         def against_ref(i_x, t_x, label):
             i_x, t_x = np.asarray(i_x), np.asarray(t_x)
             diff = i_x != i_ref
-            ties = diff & fin & (t_x == t_ref)
+            # A ray through a shared mesh edge hits two triangles at
+            # (near-)identical t; the strict-'<' nearest rule keeps
+            # whichever the float path ranks closer, and the packed
+            # kernel's Möller-Trumbore/slab arithmetic differs from the
+            # jnp packet's in op order — so id differences within float
+            # noise of each other are boundary ties, not traversal
+            # errors (measured: 1 lane in 262k at 1M tris, dt = 2e-7
+            # relative, ADJACENT tri ids).  Anything beyond rtol 1e-6
+            # counts as real.
+            ties = diff & fin & (
+                np.abs(t_x - t_ref) <= 1e-6 * np.maximum(np.abs(t_ref), 1.0))
             real = diff & ~ties
             mis = int(real.sum())
             t_ok = (np.isfinite(t_x) == fin).all() and \

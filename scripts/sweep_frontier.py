@@ -103,11 +103,13 @@ while time.time() < deadline:  # burn through the tunnel transient
     i, t = f()
     float(jnp.sum(t.ravel()[:8]))
 
-for sub in (32, 8):
-    for K in (1, 2, 4, 8):
+KS = [int(k) for k in os.environ.get("KS", "1,2,4").split(",")]
+SUBS = [int(s) for s in os.environ.get("SUBS", "32,8").split(",")]
+for sub in SUBS:
+    for K in KS:
         bench(trav(*coh, sub, K), f"coherent sub={sub} frontier={K}")
-for sub in (32, 8):
-    for K in (1, 2, 4, 8):
+for sub in SUBS:
+    for K in KS:
         bench(trav(*inc, sub, K), f"sorted-incoh sub={sub} frontier={K}")
 
 # ---------------- stage 2: stream scale, wide fate ----------------------
