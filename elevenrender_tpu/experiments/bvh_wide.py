@@ -1,4 +1,9 @@
-"""8-wide BVH packet traversal — collapse of the binary tree (VERDICT r2
+"""8-wide BVH packet traversal — EXPERIMENTAL (demoted from the
+supported matrix in r4): it measured at best +5-6%% on fully-shuffled
+isolated stream traversals but lost the full 1M-tri integrator step
+11.4 s vs 7.9 s per sample against the binary kernel (docs/PERF.md
+"8-wide fate"; .runlogs/sweep_frontier.log, integrator_1m_wide.log).
+Kept with its parity tests: the collapse of the binary tree (VERDICT r2
 ask #4: traversal is ~78% of the step and interior-step-bound).
 
 The reference walks a fixed-depth COMPLETE binary tree with implicit
@@ -428,7 +433,7 @@ def pack_bvh_wide(bvh: dict) -> tuple:
     8-wide tables.  Returns (nodes8 f32 [R,128], leaf8 i32 [R_last,128]).
     The tri table is unchanged — reuse pack_bvh_for_pallas's tris9."""
     import numpy as np
-    from .bvh import preorder_indices
+    from ..ops.bvh import preorder_indices
 
     D = bvh["depth"]
     d_list = wide_levels(D)

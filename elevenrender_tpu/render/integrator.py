@@ -108,10 +108,15 @@ def _resolve_trace_mode(config, ir) -> str:
                 "with depth<=15 (auto) for the fast path",
                 config.bvh_depth)
             mode = "packet"
-    if mode in ("pallas_wide", "pallas_wide_stream") \
-            and ir.get("bvh_wide") is None:
-        # The 8-wide collapse needs depth >= 3 (ops/bvh_wide.wide_levels);
-        # shallow trees fall back to the binary kernel.
+    if mode in ("pallas_wide", "pallas_wide_stream"):
+        # The 8-wide collapse left the supported matrix in r4: it lost
+        # the full 1M-tri integrator step 11.4 s vs 7.9 s against the
+        # binary kernel (docs/PERF.md "8-wide fate"); the kernel lives
+        # on in experiments/bvh_wide.py for measurement scripts.
+        from ..utils.logging import get_logger
+        get_logger().warning(
+            "trace_mode=%r moved to experiments/ (r4, docs/PERF.md); "
+            "using the binary kernel", mode)
         mode = "pallas" if mode == "pallas_wide" else "pallas_stream"
     return mode
 
@@ -132,11 +137,9 @@ def recommended_samples_per_dispatch(config, ir, default: int = 8) -> int:
     """
     tris = ir["tris"]["verts"].shape[0]
     mode = _resolve_trace_mode(config, ir)
-    if mode in ("pallas_stream", "pallas_wide_stream", "packet") \
-            and tris > 360_000:
+    if mode in ("pallas_stream", "packet") and tris > 360_000:
         return 1
-    if mode in ("pallas_stream", "pallas_wide_stream", "packet") \
-            and tris > 120_000:
+    if mode in ("pallas_stream", "packet") and tris > 120_000:
         return min(default, 4)
     return default
 
@@ -147,9 +150,7 @@ def _uses_sort(config, ir) -> bool:
     (computed at the hit points) shared by the shadow launch and the next
     bounce's path trace, instead of sorting inside every trace."""
     return (config.sort_rays
-            and _resolve_trace_mode(config, ir) in (
-                "pallas", "pallas_stream", "pallas_wide",
-                "pallas_wide_stream", "packet"))
+            and _resolve_trace_mode(config, ir) in ("pallas", "pallas_stream", "packet"))
 
 
 def _trace(config, ir, ray_o, ray_d, mask=None, perm=None,
@@ -206,8 +207,7 @@ def _trace(config, ir, ray_o, ray_d, mask=None, perm=None,
         ray_d = where3(mask, ray_d,
                        jnp.asarray([0.0, 0.0, 1.0], ray_d.dtype))
 
-    if mode in ("pallas", "pallas_stream", "pallas_wide",
-                "pallas_wide_stream", "packet") and config.sort_rays:
+    if mode in ("pallas", "pallas_stream", "packet") and config.sort_rays:
         # Packet coherence: tiles must be spatially compact (ops/sort.py).
         if perm is not None:
             order, inverse = perm
@@ -243,16 +243,6 @@ def _trace(config, ir, ray_o, ray_d, mask=None, perm=None,
             idx = idx[inverse]
             t = t[inverse]
         return idx, t
-    elif mode in ("pallas_wide", "pallas_wide_stream"):
-        from ..ops.bvh_wide import traverse_wide
-        bw = ir["bvh_wide"]
-        idx, t = traverse_wide(bw["nodes"], bw["leaf"],
-                               ir["bvh_packed"]["tris9"],
-                               ray_o, ray_d, depth=config.bvh_depth,
-                               max_leaf=config.bvh_max_leaf,
-                               interpret=jax.default_backend() == "cpu",
-                               stream=mode == "pallas_wide_stream",
-                               sub=config.pallas_sub)
     elif mode == "packet":
         idx, t = bvh_ops.traverse_packet(ir["bvh"], tris, ray_o, ray_d,
                                          depth=config.bvh_depth,

@@ -84,9 +84,13 @@ class RenderConfig:
     # tiles stay spatially compact; essential for secondary/shadow rays.
     sort_rays: bool = True
     # Sort-key layout: False = position-major Morton with octant low
-    # bits; True = octant-major (pure-direction tiles) — A/B knob, see
-    # ops/sort.morton_key.
-    sort_dir_major: bool = False
+    # bits; True = octant-major (pure-direction tiles).  Default True
+    # since r4: measured 8% faster on the full sample step
+    # (2296 -> 2113 ms, .runlogs/ab_dirmajor.log) — pure-octant tiles
+    # help the bounce/shadow traces more than spatial compactness does.
+    # Results are invariant (the permutation is inverted); only equal-t
+    # shared-edge tie resolution can differ per tile grouping.
+    sort_dir_major: bool = True
     # Static shading facts (computed by build_ir from the host scene so
     # XLA compiles away unused fetch paths — see _generate_hitdata):
     # which of the 7 map slots any material actually binds, whether all
@@ -174,13 +178,11 @@ def build_ir(scene, config: RenderConfig | None = None,
     from ..ops.bvh_pallas import pack_bvh_for_pallas
     nodes_p, leaf_p, tris9_p = pack_bvh_for_pallas(bvh, verts[perm])
 
-    # 8-wide collapse (ops/bvh_wide.py) — same build, same leaf order,
-    # same tri table; one row per wide node holds all 8 child boxes.
-    if bvh["depth"] >= 3:
-        from ..ops.bvh_wide import pack_bvh_wide
-        nodes_w, leaf_w = pack_bvh_wide(bvh)
-    else:
-        nodes_w = leaf_w = None
+    # The 8-wide collapse moved to experiments/ (r4): it measured at
+    # best +5% on fully-shuffled isolated traversals but lost the real
+    # 1M-tri integrator step 11.4 s vs 7.9 s (docs/PERF.md) — its
+    # tables are no longer built into the IR.  experiments.bvh_wide
+    # packs them on demand for measurement scripts.
 
     tris_ir = {
         "verts": jnp.asarray(verts[perm]),
@@ -198,8 +200,6 @@ def build_ir(scene, config: RenderConfig | None = None,
 
     ir = {
         "bvh_packed": {"nodes": nodes_p, "leaf": leaf_p, "tris9": tris9_p},
-        "bvh_wide": ({"nodes": nodes_w, "leaf": leaf_w}
-                     if nodes_w is not None else None),
         "tris": tris_ir,
         "bvh": {
             "node_bmin": jnp.asarray(bvh["node_bmin"]),

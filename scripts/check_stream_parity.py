@@ -92,8 +92,12 @@ for name, (o, d) in rays.items():
         assert (np.asarray(i_v) == i_ref).all()
 
     # 8-wide kernel (ops/bvh_wide.py), streaming variant, same bar.
-    from elevenrender_tpu.ops.bvh_wide import traverse_wide
-    bw = ir["bvh_wide"]
+    from elevenrender_tpu.experiments.bvh_wide import (pack_bvh_wide,
+                                                       traverse_wide)
+    wb = {k: np.asarray(ir["bvh"][k]) for k in
+          ("node_bmin", "node_bmax", "node_from", "node_to")}
+    wb["depth"] = config.bvh_depth
+    bw = dict(zip(("nodes", "leaf"), pack_bvh_wide(wb)))
     i_w, t_w = traverse_wide(bw["nodes"], bw["leaf"], bp["tris9"], o, d,
                              depth=config.bvh_depth,
                              max_leaf=config.bvh_max_leaf,

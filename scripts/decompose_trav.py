@@ -85,7 +85,9 @@ def trav(o, d, mode, count=False):
 
 
 # Duration burn-in (the tunnel transient is time-based, docs/PERF.md).
-_deadline = time.time() + 20.0
+# 60 s: the r4 run's first timed cell was still inflated after 20 s
+# (467 ms vs the replicated 87 ms) — the transient outlasts 20 s.
+_deadline = time.time() + 60.0
 while time.time() < _deadline:
     out = trav(ray_o, ray_d, "full")
     float(jnp.sum(out[1].ravel()[:8]))

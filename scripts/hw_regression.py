@@ -10,7 +10,7 @@ read.  Covers, per scene scale (318k and 1M tris by default):
     on coherent AND shuffled rays: exact hit ids (equal-t ties allowed —
     shared mesh edges), distances to 1e-5;
   - VMEM-resident kernel where the scene fits;
-  - 8-wide streaming kernel, same bar;
+  - 8-wide streaming kernel (experiments/, demoted r4 — still parity-gated here), same bar;
   - ANY-HIT occlusion mode, exactly: with exclude=-1 and a finite
     per-ray t_max the occlusion flag must equal the packet reference's
     (t_nearest < t_max) — same predicate, independent path; plus the
@@ -45,7 +45,8 @@ import numpy as np
 from scenes import heightfield_scene
 from elevenrender_tpu.ops import bvh as bvh_ops
 from elevenrender_tpu.ops.bvh_pallas import traverse_pallas
-from elevenrender_tpu.ops.bvh_wide import traverse_wide
+from elevenrender_tpu.experiments.bvh_wide import (pack_bvh_wide,
+                                                       traverse_wide)
 from elevenrender_tpu.ops.camera import camera_ray
 
 GRIDS = [int(g) for g in os.environ.get("GRIDS", "318,708").split(",")]
@@ -92,6 +93,12 @@ for GRID in GRIDS:
     perm = jax.random.permutation(jax.random.PRNGKey(0), npix)
     bp = ir["bvh_packed"]
     fits_vmem = T <= 120_000
+    # 8-wide left the supported IR in r4 (demoted to experiments/);
+    # regression still covers it by packing its tables on demand.
+    wb = {k: __import__("numpy").asarray(ir["bvh"][k]) for k in
+          ("node_bmin", "node_bmax", "node_from", "node_to")}
+    wb["depth"] = config.bvh_depth
+    bw = dict(zip(("nodes", "leaf"), pack_bvh_wide(wb)))
 
     # Single-dispatch wall time must stay under the worker watchdog
     # (~60 s, docs/PERF.md): at 1M tris the jnp packet reference on
@@ -163,8 +170,7 @@ for GRID in GRIDS:
                 o, d)
             against_ref(i_v, t_v, "vmem")
 
-        if ir.get("bvh_wide") is not None:
-            bw = ir["bvh_wide"]
+        if True:  # wide tables packed on demand (experiments/, r4)
             i_w, t_w = sliced(
                 lambda o, d: traverse_wide(
                     bw["nodes"], bw["leaf"], bp["tris9"], o, d,

@@ -43,7 +43,8 @@ TEXTURED = bool(int(os.environ.get("TEXTURED", "0")))
 
 maker = textured_heightfield_scene if TEXTURED else heightfield_scene
 scene, config, ir = maker(grid=GRID, res=RES, spp=NSAMP, compat=False)
-config = config.replace(trace_mode="pallas_stream")
+config = config.replace(
+    trace_mode=os.environ.get("TRACE", "pallas_stream"))
 T = ir["tris"]["verts"].shape[0]
 log(f"tris={T} depth={config.bvh_depth} NSAMP={NSAMP} textured={TEXTURED} "
     f"(forced pallas_stream)")

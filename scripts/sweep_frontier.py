@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from scenes import heightfield_scene
 from elevenrender_tpu.ops.bvh_pallas import traverse_pallas
-from elevenrender_tpu.ops.bvh_wide import traverse_wide
+from elevenrender_tpu.experiments.bvh_wide import (pack_bvh_wide,
+                                                       traverse_wide)
 from elevenrender_tpu.ops.camera import camera_ray
 from elevenrender_tpu.ops.sort import sort_for_packets
 
@@ -116,7 +117,10 @@ for sub in SUBS:
 for grid in (318, 708):
     config, ir, coh, inc = make(grid)
     bp = ir["bvh_packed"]
-    bw = ir["bvh_wide"]
+    wb = {k: __import__("numpy").asarray(ir["bvh"][k]) for k in
+          ("node_bmin", "node_bmax", "node_from", "node_to")}
+    wb["depth"] = config.bvh_depth
+    bw = dict(zip(("nodes", "leaf"), pack_bvh_wide(wb)))
     T = ir["tris"]["verts"].shape[0]
     log(f"stage 2: {T} tris depth={config.bvh_depth}")
 

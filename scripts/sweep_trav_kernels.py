@@ -28,7 +28,8 @@ import numpy as np
 
 from scenes import heightfield_scene
 from elevenrender_tpu.ops.bvh_pallas import traverse_pallas
-from elevenrender_tpu.ops.bvh_wide import traverse_wide
+from elevenrender_tpu.experiments.bvh_wide import (pack_bvh_wide,
+                                                       traverse_wide)
 from elevenrender_tpu.ops.camera import camera_ray
 from elevenrender_tpu.ops.sort import sort_for_packets
 
@@ -67,7 +68,10 @@ def sorted_rays(o, d):
 ray_o_inc, ray_d_inc = sorted_rays(ray_o[perm], ray_d[perm])
 
 bp = ir["bvh_packed"]
-bw = ir["bvh_wide"]
+wb = {k: np.asarray(ir["bvh"][k]) for k in
+      ("node_bmin", "node_bmax", "node_from", "node_to")}
+wb["depth"] = config.bvh_depth
+bw = dict(zip(("nodes", "leaf"), pack_bvh_wide(wb)))
 
 
 _burned_in = False

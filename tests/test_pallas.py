@@ -104,7 +104,8 @@ def test_wide_matches_per_ray():
     """8-wide collapse (ops/bvh_wide.py) vs the per-ray reference walk,
     VMEM and HBM-streaming variants, across depths that exercise a
     remainder root (D mod 3 = 0, 1, 2)."""
-    from elevenrender_tpu.ops.bvh_wide import pack_bvh_wide, traverse_wide
+    from elevenrender_tpu.experiments.bvh_wide import (pack_bvh_wide,
+                                                       traverse_wide)
     for n_tris, n_rays, depth, seed in ((300, 1500, None, 0),
                                         (500, 2000, 4, 3),
                                         (700, 2000, 5, 5),
@@ -133,7 +134,8 @@ def test_wide_matches_per_ray():
 
 
 def test_wide_tile_widths_agree():
-    from elevenrender_tpu.ops.bvh_wide import pack_bvh_wide, traverse_wide
+    from elevenrender_tpu.experiments.bvh_wide import (pack_bvh_wide,
+                                                       traverse_wide)
     tris, o, d = random_scene(500, 3000, seed=7)
     bvh = build_bvh(tris)
     st = tris[bvh["perm"]]
