@@ -597,10 +597,12 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0):
     carry = (rng, ray_o, ray_d, light, reduction, alive,
              aov_normal, aov_tangent, aov_bitangent, aov_albedo,
              prev_brdf_pdf, had_bounce, rays, order0, order0)
+    body = (jax.checkpoint(bounce_body) if config.remat_bounces
+            else bounce_body)
     (rng, ray_o, ray_d, light, reduction, alive,
      aov_normal, aov_tangent, aov_bitangent, aov_albedo,
      prev_brdf_pdf, had_bounce, rays, _, _) = jax.lax.fori_loop(
-        0, config.max_bounces, bounce_body, carry)
+        0, config.max_bounces, body, carry)
 
     light = jnp.clip(light, 0.0, config.clamp_radiance)
     ok = ~jnp.any(jnp.isnan(light), axis=-1)

@@ -91,6 +91,14 @@ class RenderConfig:
     # Results are invariant (the permutation is inverted); only equal-t
     # shared-edge tie resolution can differ per tile grouping.
     sort_dir_major: bool = True
+    # Rematerialize each bounce in reverse-mode AD (jax.checkpoint on
+    # the bounce body): the backward pass recomputes a bounce's
+    # intermediates instead of storing them.  Required for gradients at
+    # production scale — the 1M-tri 1024² accumulated backward holds
+    # ~5 bounces of wavefront residuals and overflows HBM by 63MB
+    # without it (.runlogs/bench_config5_r04.log); costs extra forward
+    # FLOPs, so off by default at bench scale.
+    remat_bounces: bool = False
     # Static shading facts (computed by build_ir from the host scene so
     # XLA compiles away unused fetch paths — see _generate_hitdata):
     # which of the 7 map slots any material actually binds, whether all

@@ -73,6 +73,10 @@ def main():
     alive_fraction = alive_per_sample / rays_per_sample
 
     # ---- fwd+bwd accumulated, chunk=1 ----------------------------------
+    # remat_bounces: without it the per-sample VJP at this scale holds
+    # ~5 bounces of wavefront residuals and overflows HBM by 63MB
+    # (.runlogs/bench_config5_r04.log) — recompute beats spill.
+    config = config.replace(remat_bounces=True)
     target = jnp.zeros((res * res, 3), jnp.float32)
     loss, grads = fwd_bwd_step_accum(config, ir, target, grad_spp, chunk=1)
     float(loss)

@@ -114,7 +114,9 @@ for sub in SUBS:
         bench(trav(*inc, sub, K), f"sorted-incoh sub={sub} frontier={K}")
 
 # ---------------- stage 2: stream scale, wide fate ----------------------
-for grid in (318, 708):
+STAGE2 = [int(g) for g in os.environ.get("STAGE2", "318,708").split(",")
+          if g]
+for grid in STAGE2:
     config, ir, coh, inc = make(grid)
     bp = ir["bvh_packed"]
     wb = {k: __import__("numpy").asarray(ir["bvh"][k]) for k in

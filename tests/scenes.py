@@ -157,7 +157,7 @@ def textured_heightfield_scene(grid: int = 708, res: int = 1024,
     nmap = np.full((32, 32, 3), 0.5, np.float32)
     nmap[..., 2] = 1.0
     scene.add_texture(Texture("checker", checker, Texture.FILTER_BILINEAR))
-    scene.add_texture(Texture("nmap", nmap, Texture.FILTER_NEAREST))
+    scene.add_texture(Texture("nmap", nmap, Texture.FILTER_NONE))
 
     mat = Material(name="terrain", roughness=0.6, metallic=0.1)
     mat.albedo_map = "checker"

@@ -113,6 +113,29 @@ def test_accumulated_gradient_matches_direct():
                                    rtol=2e-4, atol=1e-6)
 
 
+def test_remat_bounces_gradients_match():
+    """remat_bounces (jax.checkpoint on the bounce body — the memory
+    knob that makes 1M-tri 1024² gradients fit HBM, docs/PERF.md) must
+    not change forward results or gradients: recompute-vs-store only."""
+    from elevenrender_tpu.render.grad import render_loss_and_grad_accum
+    config, ir = small_config()
+    params = {"materials": float_subtree(ir["materials"])}
+    state = init_state(config)
+    img = np.asarray(render_sample_jit(config, ir, state)[
+        "passes"][BEAUTY, :, :3])
+    target = jnp.asarray(img * 1.5 + 0.1)
+
+    loss0, grads0 = render_loss_and_grad_accum(config, ir, params,
+                                               target, 2)
+    cfg_r = config.replace(remat_bounces=True)
+    loss1, grads1 = render_loss_and_grad_accum(cfg_r, ir, params,
+                                               target, 2)
+    assert np.isclose(float(loss0), float(loss1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(grads0), jax.tree.leaves(grads1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_camera_and_hdri_gradients_finite():
     """Pixel gradients flow to camera position and HDRI radiance."""
     config, ir = small_config()
