@@ -114,3 +114,25 @@ def test_point_light_inverse_square():
     # Distance from the plane's lit area roughly doubles: expect ~3-5x.
     ratio = am / bm
     assert 2.0 < ratio < 8.0, ratio
+
+
+def test_config5_scene_helper_renders():
+    """The config-5-shaped scene builder (tests/scenes.py
+    textured_heightfield_scene — the bench/production-render scene) in
+    miniature: textures + normal map + point light + HDRI through the
+    native integrator produce finite, lit output, and the bench's
+    auto-chunking helper answers for it."""
+    from scenes import textured_heightfield_scene
+    from elevenrender_tpu.render.integrator import (
+        init_state, recommended_samples_per_dispatch, render_samples_jit)
+
+    scene, config, ir = textured_heightfield_scene(grid=24, res=32)
+    assert config.n_lights == 1
+    assert config.tex_slots_used[0] and config.tex_slots_used[4]
+    state = render_samples_jit(config, ir, init_state(config), 2)
+    img = np.asarray(state["passes"][0, :, :3])
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05
+    # Tiny scene: full default chunking; the 1M-tri production scene
+    # gets 1 sample/dispatch (exercised on hardware, docs/PERF.md).
+    assert recommended_samples_per_dispatch(config, ir) == 8
