@@ -675,11 +675,27 @@ def render_sample_jit_safe(config, ir, state):
     return render_sample(config, ir, state)
 
 
+def _warn_oversized_dispatch(config, ir, n: int) -> None:
+    """Trace-time guard: a single dispatch whose wall time exceeds the
+    hardware execution envelope KILLS the tunnel-attached TPU worker
+    (~60 s watchdog — scripts/multilaunch.py ladder, docs/PERF.md).
+    Runs once per compile; results are unaffected."""
+    rec = recommended_samples_per_dispatch(config, ir)
+    if n > 4 * rec:
+        from ..utils.logging import get_logger
+        get_logger().warning(
+            "%d samples in ONE dispatch at this scene scale (recommended "
+            "<= %d) can exceed the worker's single-dispatch wall-time "
+            "envelope and crash it (docs/PERF.md); drive a host loop of "
+            "smaller dispatches instead.", n, rec)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=2)
 def render_samples_jit(config, ir, state, n: int):
     """n progressive samples in ONE dispatch (lax.fori_loop), amortizing
     per-launch overhead — the analog of enqueueing several sample kernels
     back-to-back (kernel.cpp:689-699) but without host round-trips."""
+    _warn_oversized_dispatch(config, ir, n)
     return jax.lax.fori_loop(
         0, n, lambda i, st: render_sample(config, ir, st), state)
 
@@ -688,5 +704,6 @@ def render_samples_jit(config, ir, state, n: int):
 def render_samples_jit_safe(config, ir, state, n: int):
     """Non-donating n-sample dispatch for the interactive renderer: the
     previous snapshot stays valid for get_pass while the chunk runs."""
+    _warn_oversized_dispatch(config, ir, n)
     return jax.lax.fori_loop(
         0, n, lambda i, st: render_sample(config, ir, st), state)

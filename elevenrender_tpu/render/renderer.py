@@ -108,6 +108,14 @@ class Renderer:
                 n = min(chunk, target - done)
                 self.state = render_samples_jit_safe(
                     self.config, self.ir, self.state, n)
+                # Sync before enqueueing the next chunk: dispatches are
+                # async and an unbounded outstanding queue (a) stalls
+                # the tunnel-attached TPU worker outright at production
+                # scale and (b) makes every snapshot lag arbitrarily
+                # behind real progress (docs/PERF.md).  Materializing
+                # one element is the reliable barrier on the remote
+                # backend (block_until_ready is not).
+                np.asarray(self.state["samples"][:1])
                 done += n
                 with self._lock:
                     self._snapshot = self.state
