@@ -734,8 +734,10 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
     rows2 = (2 * max_leaf + 7) // ENTRIES_PER_ROW + 1
     rows2 = -(-rows2 // 8) * 8
     # Frontier-K stack bound: each step pops <= K and pushes <= 2 per
-    # pop, so pending entries grow by <= K per level descended.
-    stack_rows = (depth + 2) if frontier <= 1 else (2 * frontier * depth + 8)
+    # pop (net growth <= K/step, ~2K pending per level in the common
+    # case) — but mixed-level pop blocks make a tight bound fiddly, so
+    # allocate 4K*depth: SMEM ints are free next to an overflow.
+    stack_rows = (depth + 2) if frontier <= 1 else (4 * frontier * depth + 8)
     scratch_shapes = [pltpu.SMEM((stack_rows, 2), jnp.int32)]
     if stream:
         tris_spec = pl.BlockSpec(memory_space=pl.ANY)
