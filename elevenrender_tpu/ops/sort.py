@@ -55,19 +55,78 @@ def morton_key(origin, direction, bounds_min, bounds_max,
     return (code << jnp.uint32(3)) | octant
 
 
+def counting_order(key, bits: int = 8, chunk: int = 2048):
+    """Stable counting sort of uint32 keys by their TOP ``bits`` bits:
+    O(n) histogram + prefix ranks + one scatter, versus jnp.argsort's
+    full comparison sort (58 ms/1M keys on v5e — 5 of them per sample,
+    docs/PERF.md 'next levers' #1).
+
+    Packet tracing only needs TILE-granular grouping (order within a
+    4096-ray tile is irrelevant), so 2^bits buckets with STABLE
+    within-bucket order suffice — and stability means within-bucket
+    order inherits the previous bounce's (already sorted) order, so the
+    effective ordering refines across bounces like an iterated radix
+    pass.
+
+    Returns (order, inverse): key[order] is bucket-sorted;
+    inverse[order[i]] = i (the scatter positions ARE the inverse, so
+    unlike the argsort path no second scatter is needed).
+
+    Mechanics: split into chunks of ``chunk`` elements; per-chunk
+    one-hot prefix counts (int32 cumsum — bf16 would overflow exact
+    counts past 256) give within-chunk ranks AND per-chunk histograms
+    in one pass; global position = bucket base (+ chunk base within
+    bucket) + within-chunk rank.
+    """
+    n = key.shape[0]
+    pad = (-n) % chunk
+    kb = (key >> jnp.uint32(32 - bits)).astype(jnp.int32)
+    if pad:
+        # Padding keys land in a virtual overflow bucket past every real
+        # one so they sort to the very end and are then sliced off.
+        kb = jnp.concatenate([kb, jnp.full((pad,), (1 << bits),
+                                           jnp.int32)])
+    B = (1 << bits) + 1
+    C = (n + pad) // chunk
+    kc = kb.reshape(C, chunk)
+    oh = (kc[:, :, None] == jnp.arange(B, dtype=jnp.int32)).astype(
+        jnp.int32)                                        # [C, M, B]
+    pref = jnp.cumsum(oh, axis=1)                         # ranks+1
+    rank = jnp.take_along_axis(pref, kc[:, :, None], axis=2)[..., 0] - 1
+    chunk_hist = pref[:, -1, :]                           # [C, B]
+    bucket_base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(jnp.sum(chunk_hist, axis=0))[:-1]])   # [B]
+    chunk_base = bucket_base[None, :] + jnp.concatenate(
+        [jnp.zeros((1, B), jnp.int32),
+         jnp.cumsum(chunk_hist, axis=0)[:-1]], axis=0)    # [C, B]
+    pos = (jnp.take_along_axis(chunk_base, kc, axis=1) + rank).reshape(-1)
+    pos = pos[:n]
+    order = jnp.zeros((n,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True,
+        mode="promise_in_bounds")
+    return order, pos
+
+
 def sort_for_packets(origin, direction, bounds_min, bounds_max, mask=None,
-                     dir_major: bool = False):
+                     dir_major: bool = False, impl: str = "argsort"):
     """Returns (order, inverse) permutations: ``origin[order]`` is
     packet-coherent; scatter results back with ``result[inverse]``.
 
     ``mask``: lanes that actually need tracing.  Dead lanes get the max
     key so they pack into the TAIL tiles — combined with the instant-miss
     ray substitution in the integrator's _trace, those tiles terminate at
-    the root, so dead rays cost ~nothing instead of a full walk."""
+    the root, so dead rays cost ~nothing instead of a full walk.
+
+    ``impl``: "argsort" (full comparison sort) or "counting" (top-8-bit
+    stable counting sort, counting_order — tile-granular grouping at
+    O(n); RenderConfig.sort_impl)."""
     key = morton_key(origin, direction, bounds_min, bounds_max,
                      dir_major=dir_major)
     if mask is not None:
         key = jnp.where(mask, key, jnp.uint32(0xFFFFFFFF))
+    if impl == "counting":
+        return counting_order(key)
     order = jnp.argsort(key)
     # inverse[order[i]] = i — a scatter, NOT a second argsort (which would
     # pay a full 1M-key device sort again; there are 2 traces x bounces of

@@ -216,7 +216,7 @@ def _trace(config, ir, ray_o, ray_d, mask=None, perm=None,
             order, inverse = sort_for_packets(
                 ray_o, ray_d, ir["bvh"]["node_bmin"][0],
                 ir["bvh"]["node_bmax"][0], mask=mask,
-                dir_major=config.sort_dir_major)
+                dir_major=config.sort_dir_major, impl=config.sort_impl)
         ray_o = ray_o[order]
         ray_d = ray_d[order]
     else:
@@ -468,7 +468,7 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0):
             order, inverse = sort_for_packets(
                 hd["position"], wibrdf, ir["bvh"]["node_bmin"][0],
                 ir["bvh"]["node_bmax"][0], mask=alive,
-                dir_major=config.sort_dir_major)
+                dir_major=config.sort_dir_major, impl=config.sort_impl)
 
         merge_lights = (not config.compat) and config.n_lights > 0
         if merge_lights:

@@ -91,6 +91,11 @@ class RenderConfig:
     # Results are invariant (the permutation is inverted); only equal-t
     # shared-edge tie resolution can differ per tile grouping.
     sort_dir_major: bool = True
+    # Per-bounce sort implementation: "argsort" (full XLA comparison
+    # sort) or "counting" (top-8-bit stable counting sort,
+    # ops/sort.counting_order — O(n), tile-granular grouping; A/B knob,
+    # docs/PERF.md 'next levers' #1).
+    sort_impl: str = "argsort"
     # Rematerialize each bounce in reverse-mode AD (jax.checkpoint on
     # the bounce body): the backward pass recomputes a bounce's
     # intermediates instead of storing them.  Required for gradients at

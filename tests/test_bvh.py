@@ -148,3 +148,53 @@ def test_fixed_depth_build():
     hit = np.asarray(ti) >= 0
     np.testing.assert_allclose(np.asarray(tt)[hit], np.asarray(bt)[hit],
                                rtol=1e-5)
+
+
+def test_counting_order_is_valid_stable_bucket_sort():
+    """counting_order (ops/sort.py — the O(n) alternative to argsort for
+    per-bounce packet grouping): must return a valid permutation whose
+    top-key-bits sequence is non-decreasing, STABLE within buckets, with
+    inverse[order[i]] == i; padding path (n not a chunk multiple)
+    included."""
+    import jax.numpy as jnp
+    import numpy as np
+    from elevenrender_tpu.ops.sort import counting_order
+
+    rng = np.random.default_rng(0)
+    for n in (2048, 5000, 100_001):
+        key = jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.uint32))
+        order, inverse = counting_order(key, bits=8, chunk=2048)
+        order, inverse = np.asarray(order), np.asarray(inverse)
+        # Valid permutation + exact inverse.
+        assert sorted(order.tolist()) == list(range(n))
+        np.testing.assert_array_equal(inverse[order], np.arange(n))
+        kb = (np.asarray(key) >> 24).astype(np.int64)
+        kb_sorted = kb[order]
+        assert (np.diff(kb_sorted) >= 0).all()
+        # Stability: within each bucket, original indices ascend.
+        for b in np.unique(kb_sorted[:50]):
+            idxs = order[kb_sorted == b]
+            assert (np.diff(idxs) > 0).all()
+        # Same bucket histogram as a reference sort.
+        np.testing.assert_array_equal(np.bincount(kb, minlength=256),
+                                      np.bincount(kb_sorted, minlength=256))
+
+
+def test_sort_impl_does_not_change_render():
+    """The sort is internal (permutation is inverted after the trace):
+    switching sort_impl must not change the rendered image (up to
+    equal-t shared-edge ties — none on this scene/seed)."""
+    import numpy as np
+    from scenes import cornell_scene
+    from elevenrender_tpu.render.integrator import (init_state,
+                                                    render_samples_jit)
+
+    scene, config, ir = cornell_scene(res=24, spp=2)
+    config = config.replace(compat=False, trace_mode="packet",
+                            max_bounces=3)
+    a = np.asarray(render_samples_jit(config, ir, init_state(config), 2)
+                   ["passes"])
+    cfg_c = config.replace(sort_impl="counting")
+    b = np.asarray(render_samples_jit(cfg_c, ir, init_state(cfg_c), 2)
+                   ["passes"])
+    np.testing.assert_array_equal(a, b)
