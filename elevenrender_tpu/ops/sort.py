@@ -57,9 +57,14 @@ def morton_key(origin, direction, bounds_min, bounds_max,
 
 def counting_order(key, bits: int = 8, chunk: int = 2048):
     """Stable counting sort of uint32 keys by their TOP ``bits`` bits:
-    O(n) histogram + prefix ranks + one scatter, versus jnp.argsort's
-    full comparison sort (58 ms/1M keys on v5e — 5 of them per sample,
-    docs/PERF.md 'next levers' #1).
+    O(n) histogram + prefix ranks + one scatter.
+
+    MEASURED NEGATIVE on v5e (r4, docs/PERF.md "the sort lever"):
+    jnp.argsort of 1M keys is only 6.3 ms — the per-bounce sort cost is
+    permutation PLUMBING (gathers/scatters) that any ordering pays —
+    and this path's rank pass alone is 37.8 ms, 1.30x worse end-to-end.
+    Kept as the documented negative behind RenderConfig.sort_impl
+    ("argsort" stays the default); tests pin its correctness.
 
     Packet tracing only needs TILE-granular grouping (order within a
     4096-ray tile is irrelevant), so 2^bits buckets with STABLE
