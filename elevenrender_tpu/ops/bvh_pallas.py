@@ -908,7 +908,7 @@ def pack_bvh_for_pallas(bvh: dict, tri_verts_sorted) -> tuple:
     # Trailing pad rows: the streaming kernels DMA a fixed window
     # starting anywhere in the table (worst case: an empty leaf whose
     # from==to==T), so the window must never run off the end.  The 8-wide
-    # kernel's window covers an 8-leaf span (ops/bvh_wide.py), the widest
+    # kernel's window covers an 8-leaf span (experiments/bvh_wide.py), the widest
     # consumer of this table; +8 covers the windows' 8-row alignment.
     pad_rows = (8 * bvh["max_leaf"] + 7) // ENTRIES_PER_ROW + 2 + 8
     tris = np.zeros((rows(T) + pad_rows, LANE), np.float32)

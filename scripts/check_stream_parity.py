@@ -91,7 +91,7 @@ for name, (o, d) in rays.items():
                                    sub=config.pallas_sub)
         assert (np.asarray(i_v) == i_ref).all()
 
-    # 8-wide kernel (ops/bvh_wide.py), streaming variant, same bar.
+    # 8-wide kernel (experiments/bvh_wide.py, demoted r4), streaming variant, same bar.
     from elevenrender_tpu.experiments.bvh_wide import (pack_bvh_wide,
                                                        traverse_wide)
     wb = {k: np.asarray(ir["bvh"][k]) for k in

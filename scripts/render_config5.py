@@ -85,11 +85,14 @@ def write_out(snap, done):
 
 
 _last_snap = snapshot(state)
+_last_done = done
 
 
 def on_term(signum, frame):
-    log(f"SIGTERM at {done} samples; flushing last snapshot")
-    write_out(_last_snap, done)
+    # _last_snap is the most recent CHECKPOINT's data — up to CKPT-1
+    # samples behind `done`; label it with its own count.
+    log(f"SIGTERM at {done} samples; flushing snapshot from {_last_done}")
+    write_out(_last_snap, _last_done)
     sys.exit(0)
 
 
@@ -103,6 +106,7 @@ while done < SPP:
     done += 1
     if done % CKPT == 0 or done == SPP:
         _last_snap = snapshot(state)  # syncs the device
+        _last_done = done
         write_out(_last_snap, done)
         rate = (done - start0) / (time.time() - t0)
         log(f"{done}/{SPP} samples ({rate*3600:.0f} spp/h, "

@@ -7,7 +7,7 @@ shuffled rays, on the bench heightfield at BENCH_GRID (182 = 66k tris
 VMEM-resident; 708 = 1M tris -> stream kernels).
 
 Kernels: binary Pallas (ops/bvh_pallas.py, stream on/off per residency)
-and 8-wide (ops/bvh_wide.py).  Agreement with the binary walk is asserted
+and 8-wide (experiments/bvh_wide.py, demoted r4).  Agreement with the binary walk is asserted
 per cell (ties at equal t excluded — leaf visit order may differ).
 """
 import os

@@ -101,7 +101,7 @@ def test_pallas_stream_matches_per_ray():
 
 
 def test_wide_matches_per_ray():
-    """8-wide collapse (ops/bvh_wide.py) vs the per-ray reference walk,
+    """8-wide collapse (experiments/bvh_wide.py, demoted r4) vs the per-ray reference walk,
     VMEM and HBM-streaming variants, across depths that exercise a
     remainder root (D mod 3 = 0, 1, 2)."""
     from elevenrender_tpu.experiments.bvh_wide import (pack_bvh_wide,
