@@ -103,7 +103,7 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, idx_out, t_out, *, depth, max_leaf,
             stack_smem, tri_scratch=None, dma_sem=None, rows2=0,
             counts_out=None, order="near", excl_ref=None, tmax_ref=None,
-            leaf_mode="full"):
+            leaf_mode="full", leaf_aabb=0):
     D = depth
     stream = tri_scratch is not None
     count = counts_out is not None
@@ -165,20 +165,28 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         near = jnp.min(jnp.where(hit, tmin, jnp.inf))
         return jnp.any(hit), near
 
-    def leaf_scan(frm, to, best_idx, best_t, base_row=None):
+    def leaf_scan(frm, to, carry, base_row=None):
         """Intersect the leaf's contiguous [frm, to) range in groups of
         8 tris: one dynamic-sublane row load per group, all lane offsets
         static (e is the unrolled loop index).  Trip count is the leaf's
         ACTUAL row span, not the global max (leaves are skewed; paying
         max_leaf everywhere measured ~2-4x extra leaf work).
 
-        ``base_row``: when streaming, tri rows live in ``tri_scratch``
-        starting at this absolute row (set by do_leaves' DMA)."""
+        ``carry``: (best_idx, best_t) (+ scanned-slot counter in count
+        mode).  ``base_row``: when streaming, tri rows live in
+        ``tri_scratch`` starting at this absolute row (set by do_leaves'
+        DMA).
+
+        ``leaf_aabb`` (static): 0 = scan every row; 1 = slab-test each
+        row's packed AABB (spare lanes 9..14, already in the loaded row)
+        and branch over the whole 8-tri Möller-Trumbore block when no
+        ray can hit it (~33 vector ops to skip ~528); 2 = same at
+        half-row granularity (two 4-tri boxes, lanes 25..30 / 73..78) —
+        tighter boxes, two branches per row."""
         n_groups = jnp.where(to > frm,
                              ((to - 1) >> 3) - (frm >> 3) + 1, 0)
 
         def group_body(g, carry):
-            best_idx, best_t = carry
             row_i = (frm >> 3) + g
             if stream:
                 rel = jnp.clip(row_i - base_row, 0, rows2 - 1)
@@ -187,58 +195,89 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             else:
                 row_i = jnp.minimum(row_i, tri_ref.shape[0] - 1)
                 trow = _row_vec(tri_ref, row_i)
-            for e in range(ENTRIES_PER_ROW):
-                slot = (row_i << 3) + e
-                base = e * ENTRY_LANES
-                # Lanes are (v0, e1, e2) — edges precomputed at pack time.
-                v0x = trow[0, base + 0]
-                v0y = trow[0, base + 1]
-                v0z = trow[0, base + 2]
-                e1x = trow[0, base + 3]
-                e1y = trow[0, base + 4]
-                e1z = trow[0, base + 5]
-                e2x = trow[0, base + 6]
-                e2y = trow[0, base + 7]
-                e2z = trow[0, base + 8]
-                # pvec = d x e2
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
-                tx = ox - v0x
-                ty = oy - v0y
-                tz = oz - v0z
-                u = (tx * px + ty * py + tz * pz) * inv_det
-                # qvec = tvec x e1
-                qx = ty * e1z - tz * e1y
-                qy = tz * e1x - tx * e1z
-                qz = tx * e1y - ty * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                in_leaf = (slot >= frm) & (slot < to)
-                ok = (in_leaf
-                      & (jnp.abs(det) > 1e-7)
-                      & (u >= 0.0) & (u <= 1.0)
-                      & (v >= 0.0) & (u + v <= 1.0)
-                      & (t >= 0.0) & (t < best_t))
-                if any_hit:
-                    # Occlusion query: exclude the per-ray source tri
-                    # (the reference's self-hit triIdx check,
-                    # kernel.cpp:556) in-kernel, and on ANY accepted hit
-                    # make the lane inert (best_t = -inf: no further
-                    # slab test or tri test can pass) — a fully-occluded
-                    # tile then prunes every remaining node.
-                    ok = ok & (slot != excl)
-                    best_idx = jnp.where(ok, slot, best_idx)
-                    best_t = jnp.where(ok, -jnp.inf, best_t)
-                else:
-                    best_idx = jnp.where(ok, slot, best_idx)
-                    best_t = jnp.where(ok, t, best_t)
-            return best_idx, best_t
 
-        return jax.lax.fori_loop(0, n_groups, group_body,
-                                 (best_idx, best_t))
+            def mt_entries(entries):
+                def run(c):
+                    if count:
+                        best_idx, best_t, scanned = c
+                    else:
+                        best_idx, best_t = c
+                    for e in entries:
+                        slot = (row_i << 3) + e
+                        base = e * ENTRY_LANES
+                        # Lanes: (v0, e1, e2) — edges precomputed at pack.
+                        v0x = trow[0, base + 0]
+                        v0y = trow[0, base + 1]
+                        v0z = trow[0, base + 2]
+                        e1x = trow[0, base + 3]
+                        e1y = trow[0, base + 4]
+                        e1z = trow[0, base + 5]
+                        e2x = trow[0, base + 6]
+                        e2y = trow[0, base + 7]
+                        e2z = trow[0, base + 8]
+                        # pvec = d x e2
+                        px = dy * e2z - dz * e2y
+                        py = dz * e2x - dx * e2z
+                        pz = dx * e2y - dy * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30,
+                                                  1e-30, det)
+                        tx = ox - v0x
+                        ty = oy - v0y
+                        tz = oz - v0z
+                        u = (tx * px + ty * py + tz * pz) * inv_det
+                        # qvec = tvec x e1
+                        qx = ty * e1z - tz * e1y
+                        qy = tz * e1x - tx * e1z
+                        qz = tx * e1y - ty * e1x
+                        v = (dx * qx + dy * qy + dz * qz) * inv_det
+                        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                        in_leaf = (slot >= frm) & (slot < to)
+                        ok = (in_leaf
+                              & (jnp.abs(det) > 1e-7)
+                              & (u >= 0.0) & (u <= 1.0)
+                              & (v >= 0.0) & (u + v <= 1.0)
+                              & (t >= 0.0) & (t < best_t))
+                        if any_hit:
+                            # Occlusion query: exclude the per-ray source
+                            # tri (the reference's self-hit triIdx check,
+                            # kernel.cpp:556) in-kernel, and on ANY
+                            # accepted hit make the lane inert (best_t =
+                            # -inf: no further slab test or tri test can
+                            # pass) — a fully-occluded tile then prunes
+                            # every remaining node.
+                            ok = ok & (slot != excl)
+                            best_idx = jnp.where(ok, slot, best_idx)
+                            best_t = jnp.where(ok, -jnp.inf, best_t)
+                        else:
+                            best_idx = jnp.where(ok, slot, best_idx)
+                            best_t = jnp.where(ok, t, best_t)
+                    if count:
+                        return best_idx, best_t, scanned + len(entries)
+                    return best_idx, best_t
+                return run
+
+            def box_at(lane0):
+                # The box rides in the row just loaded — static lane
+                # extracts, no extra memory traffic.  Empty groups are
+                # packed as NaN boxes: every slab comparison is false,
+                # so the test reports no overlap and the group skips.
+                return tuple(trow[0, lane0 + k] for k in range(6))
+
+            if leaf_aabb == 2:
+                c = carry
+                for lane0, lo, hi in ((25, 0, 4), (73, 4, 8)):
+                    ghit = aabb_any(box_at(lane0), c[1])[0]
+                    c = jax.lax.cond(ghit, mt_entries(range(lo, hi)),
+                                     lambda x: x, c)
+                return c
+            full = mt_entries(range(ENTRIES_PER_ROW))
+            if leaf_aabb == 1:
+                rhit = aabb_any(box_at(9), carry[1])[0]
+                return jax.lax.cond(rhit, full, lambda x: x, carry)
+            return full(carry)
+
+        return jax.lax.fori_loop(0, n_groups, group_body, carry)
 
     def cond(state):
         return ~state[0]
@@ -246,7 +285,7 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
     def body(state):
         if count:
             (done, node, ndep, sp, best_idx, best_t,
-             visits, leafrows, dmas) = state
+             visits, leafrows, dmas, scanned) = state
         else:
             done, node, ndep, sp, best_idx, best_t = state
         shift = jnp.int32(1) << (D - ndep)
@@ -265,7 +304,7 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
         def do_leaves(c):
             if count:
-                best_idx, best_t, leafrows, dmas = c
+                best_idx, best_t, leafrows, dmas, scanned = c
             else:
                 best_idx, best_t = c
             # Leaf from/to for both children in one fetch (parent-indexed
@@ -285,18 +324,20 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                     tri_scratch, dma_sem)
                 dma.start()
                 dma.wait()
+            sc0 = ((best_idx, best_t, scanned) if count
+                   else (best_idx, best_t))
             # Right child first, then left (BVH.cpp:81-87).
             if leaf_mode == "noscan":
                 # Decomposition probe (scripts/decompose_trav.py): pay
                 # the leaf-parent overhead (cond, leaf-row fetch, DMA)
                 # but skip the Möller-Trumbore row loops.
-                sc = (best_idx, best_t)
+                sc = sc0
             else:
                 sc = jax.lax.cond(r_over,
-                                  lambda c: leaf_scan(rf, rt, *c, base_row),
-                                  lambda c: c, (best_idx, best_t))
+                                  lambda c: leaf_scan(rf, rt, c, base_row),
+                                  lambda c: c, sc0)
                 sc = jax.lax.cond(l_over,
-                                  lambda c: leaf_scan(lf, lt, *c, base_row),
+                                  lambda c: leaf_scan(lf, lt, c, base_row),
                                   lambda c: c, sc)
             if not count:
                 return sc
@@ -306,16 +347,16 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
             leafrows = leafrows + jnp.where(l_over, groups(lf, lt), 0) \
                 + jnp.where(r_over, groups(rf, rt), 0)
-            return sc + (leafrows, dmas + 1)
+            return (sc[0], sc[1], leafrows, dmas + 1, sc[2])
 
-        leaf_carry = ((best_idx, best_t, leafrows, dmas) if count
+        leaf_carry = ((best_idx, best_t, leafrows, dmas, scanned) if count
                       else (best_idx, best_t))
         if leaf_mode != "skip":  # "skip": walk-only decomposition probe
             leaf_carry = jax.lax.cond(
                 at_leaf_parent & (l_over | r_over), do_leaves, lambda c: c,
                 leaf_carry)
         if count:
-            best_idx, best_t, leafrows, dmas = leaf_carry
+            best_idx, best_t, leafrows, dmas, scanned = leaf_carry
         else:
             best_idx, best_t = leaf_carry
 
@@ -356,7 +397,7 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         done = pop & (popped_node < 0)
         if count:
             return (done, node, ndep, sp_next, best_idx, best_t,
-                    visits + 1, leafrows, dmas)
+                    visits + 1, leafrows, dmas, scanned)
         return done, node, ndep, sp_next, best_idx, best_t
 
     stack_smem[0, 0] = -1  # sentinel (transverse pushes invalid first)
@@ -368,26 +409,29 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
     init = (False, jnp.int32(0), jnp.int32(0), jnp.int32(1),
             jnp.full(ox.shape, -1, jnp.int32), best_t0)
     if count:
-        init = init + (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        init = init + (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                       jnp.int32(0))
     out = jax.lax.while_loop(cond, body, init)
     idx_out[...] = out[4]
     t_out[...] = out[5]
     if count:
         # Per-tile counters, broadcast across the row (host reads lane 0):
-        # row 0 = node visits, 1 = leaf rows scanned, 2 = leaf-parent
-        # visits (== DMA bursts when streaming).
+        # row 0 = node visits, 1 = leaf rows touched (potential work),
+        # 2 = leaf-parent visits (== DMA bursts when streaming), 3 = tri
+        # SLOTS actually Möller-Trumbore-tested (8 per full row scan, 4
+        # per half; leaf_aabb skips shrink this vs 8x row 1).
         counts_out[...] = jnp.stack(
             [jnp.full((LANE,), out[6], jnp.int32),
              jnp.full((LANE,), out[7], jnp.int32),
              jnp.full((LANE,), out[8], jnp.int32),
-             jnp.zeros((LANE,), jnp.int32)])
+             jnp.full((LANE,), out[9], jnp.int32)])
 
 
 def _kernel_frontier(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                      dx_ref, dy_ref, dz_ref, idx_out, t_out, *, depth,
-                     max_leaf, K, stack_smem, tri_scratch=None,
-                     dma_sem=None, rows2=0, counts_out=None,
-                     excl_ref=None, tmax_ref=None):
+                     max_leaf, K, stack_smem, stack_rows=0,
+                     tri_scratch=None, dma_sem=None, rows2=0,
+                     counts_out=None, excl_ref=None, tmax_ref=None):
     """Frontier-K walk: each while-loop step pops up to K stack entries
     and processes them TOGETHER — K node-row fetches issue back-to-back
     (independent dynamic-sublane loads), 2K slab tests batch on the VPU,
@@ -592,19 +636,26 @@ def _kernel_frontier(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             first_ok = jnp.where(l_first, trav_l, trav_r)
             second_ok = jnp.where(l_first, trav_r, trav_l)
 
-            @pl.when(second_ok)
+            # Overflow guard (ADVICE r4): the 4*K*depth+8 allocation is a
+            # heuristic bound — rather than silently corrupt SMEM on a
+            # pathological scene, refuse the push (degraded result, never
+            # OOB).  The margin is generous; this should never fire.
+            room = sp < stack_rows - 1
+
+            @pl.when(second_ok & room)
             def _():
                 stack_smem[sp, 0] = second_idx
                 stack_smem[sp, 1] = ndep + 1
 
-            sp = sp + jnp.where(second_ok, 1, 0)
+            sp = sp + jnp.where(second_ok & room, 1, 0)
+            room = sp < stack_rows - 1
 
-            @pl.when(first_ok)
+            @pl.when(first_ok & room)
             def _():
                 stack_smem[sp, 0] = first_idx
                 stack_smem[sp, 1] = ndep + 1
 
-            sp = sp + jnp.where(first_ok, 1, 0)
+            sp = sp + jnp.where(first_ok & room, 1, 0)
 
         if count:
             return sp, best_idx, best_t, visits, leafrows, dmas
@@ -631,13 +682,15 @@ def _kernel_frontier(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 @functools.partial(jax.jit, static_argnames=("depth", "max_leaf",
                                              "interpret", "chunk", "stream",
                                              "sub", "count_steps", "order",
-                                             "leaf_mode", "frontier"))
+                                             "leaf_mode", "frontier",
+                                             "leaf_aabb"))
 def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                     max_leaf: int, interpret: bool = False,
                     chunk: int = 512, stream: bool = False,
                     sub: int = SUB, count_steps: bool = False,
                     order: str = "near", exclude=None, t_max=None,
-                    leaf_mode: str = "full", frontier: int = 1):
+                    leaf_mode: str = "full", frontier: int = 1,
+                    leaf_aabb: int = 0):
     """nodes/leaf/tris9: packed tables from pack_bvh_for_pallas (8
     entries per 128-lane row).  ray_o/ray_d: [N, 3] (unit directions).
     Returns (idx [N] i32 — leaf-order tri index, -1 on miss; t [N] f32).
@@ -687,8 +740,14 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
     each serialized while-step processes K stack entries together
     (batched row fetches + 2K slab tests), amortizing the scalar chain;
     ordering becomes approximate (slightly more visits), results
-    identical up to equal-t ties.  ``order``/``leaf_mode`` apply only
-    to the classic kernel (frontier ignores them).
+    identical up to equal-t ties.  ``order``/``leaf_mode``/``leaf_aabb``
+    apply only to the classic kernel (frontier ignores them).
+
+    ``leaf_aabb``: 0 = off; 1 = slab-test each 8-tri leaf row's packed
+    AABB (riding in the row's spare lanes — zero extra traffic) and
+    branch over its Möller-Trumbore block when no ray can hit; 2 = the
+    same at 4-tri half-row granularity.  Results identical (the box is
+    conservative; the per-tri tests are unchanged) — only work skipped.
     """
     any_hit = exclude is not None
     assert any_hit == (t_max is not None), \
@@ -815,7 +874,8 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                 nodes_ref, leaf_ref, tri_ref, *sq[:6],
                 squeeze_out(idx_out), squeeze_out(t_out),
                 depth=depth, max_leaf=max_leaf, K=frontier,
-                stack_smem=stack, tri_scratch=tri_scratch,
+                stack_smem=stack, stack_rows=stack_rows,
+                tri_scratch=tri_scratch,
                 dma_sem=dma_sem, rows2=rows2,
                 counts_out=squeeze_out(counts) if count_steps else None,
                 excl_ref=_Sq(sq[6]) if any_hit else None,
@@ -829,7 +889,7 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
                     order=order,
                     excl_ref=_Sq(sq[6]) if any_hit else None,
                     tmax_ref=_Sq(sq[7]) if any_hit else None,
-                    leaf_mode=leaf_mode)
+                    leaf_mode=leaf_mode, leaf_aabb=leaf_aabb)
 
     call = pl.pallas_call(
         kernel,
@@ -844,7 +904,7 @@ def traverse_pallas(nodes, leaf, tris9, ray_o, ray_d, depth: int,
     outs = jax.lax.map(one_chunk, tuple(comps))
     idx, t = outs[0], outs[1]
     if count_steps:
-        counts = outs[2][:, :, :3, 0].reshape(-1, 3)  # [NT, 3]
+        counts = outs[2][:, :, :4, 0].reshape(-1, 4)  # [NT, 4]
         return idx.reshape(-1)[:N], t.reshape(-1)[:N], counts
     return idx.reshape(-1)[:N], t.reshape(-1)[:N]
 
@@ -917,4 +977,44 @@ def pack_bvh_for_pallas(bvh: dict, tri_verts_sorted) -> tuple:
     tb = (ti & 7) * ENTRY_LANES
     for c in range(9):
         tris[tr, tb + c] = tv[:, c]
+
+    # Row / half-row AABBs in the SPARE lanes (each entry uses 9 of its
+    # 16): the leaf scan can then slab-test a whole row (or half) against
+    # the tile BEFORE issuing its Möller-Trumbore loop — ~33 vector ops
+    # to potentially skip ~528 — at zero extra memory traffic, because
+    # the boxes ride in the row the scan already loads.  Layout per row:
+    #   lanes  9..14  (entry 0 spares): AABB of all 8 tris (bmin, bmax)
+    #   lanes 25..30  (entry 1 spares): AABB of tris 0..3 (half 0)
+    #   lanes 73..78  (entry 4 spares): AABB of tris 4..7 (half 1)
+    # A group with no valid tris gets a NaN box: every slab comparison
+    # is then false, so the test reports "no overlap" and the scan skips
+    # it (consumed by _kernel when leaf_aabb > 0).
+    if T:
+        v0 = tv[:, 0:3]
+        v1 = v0 + tv[:, 3:6]
+        v2 = v0 + tv[:, 6:9]
+        tmin = np.minimum(np.minimum(v0, v1), v2)
+        tmax = np.maximum(np.maximum(v0, v1), v2)
+        R = rows(T)
+        padn = R * 8 - T
+        tmin8 = np.concatenate(
+            [tmin, np.full((padn, 3), np.inf, np.float32)]).reshape(R, 8, 3)
+        tmax8 = np.concatenate(
+            [tmax, np.full((padn, 3), -np.inf, np.float32)]).reshape(R, 8, 3)
+        valid8 = (np.arange(R * 8) < T).reshape(R, 8)
+
+        def grp(lo, hi):
+            gmin = tmin8[:, lo:hi].min(axis=1)
+            gmax = tmax8[:, lo:hi].max(axis=1)
+            empty = ~valid8[:, lo:hi].any(axis=1)
+            gmin[empty] = np.nan
+            gmax[empty] = np.nan
+            return gmin, gmax
+
+        rr = np.arange(R)
+        for (lo, hi), lane0 in (((0, 8), 9), ((0, 4), 25), ((4, 8), 73)):
+            gmin, gmax = grp(lo, hi)
+            for c in range(3):
+                tris[rr, lane0 + c] = gmin[:, c]
+                tris[rr, lane0 + 3 + c] = gmax[:, c]
     return jnp.asarray(nodes), jnp.asarray(leaf), jnp.asarray(tris)

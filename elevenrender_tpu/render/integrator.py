@@ -235,6 +235,7 @@ def _trace(config, ir, ray_o, ray_d, mask=None, perm=None,
                                  stream=mode == "pallas_stream",
                                  sub=sub,
                                  order=config.trace_order,
+                                 leaf_aabb=config.leaf_aabb,
                                  exclude=(exclude[order] if occl and
                                           order is not None else exclude),
                                  t_max=(t_max[order] if occl and

@@ -46,6 +46,39 @@ def reset_shaders() -> None:
         _REGISTRY[i] = _placeholder
 
 
+def _checker(position, view_dir, normal, gnormal, tu, tv):
+    """8x8 UV checkerboard — a classic procedural-shader demo body."""
+    c = ((jnp.floor(tu * 8.0) + jnp.floor(tv * 8.0)) % 2.0)[..., None]
+    return jnp.broadcast_to(c, position.shape[:-1] + (3,)) * 0.8 + 0.1
+
+
+def _normal_rgb(position, view_dir, normal, gnormal, tu, tv):
+    """Shading-normal visualization (n * 0.5 + 0.5)."""
+    return normal * 0.5 + 0.5
+
+
+def _uv_gradient(position, view_dir, normal, gnormal, tu, tv):
+    """UV debug gradient (u, v, 0.5)."""
+    return jnp.stack([tu, tv, jnp.full_like(tu, 0.5)], axis=-1)
+
+
+# Named shader library for the wire protocol: `load_osl_material` selects
+# one of these BY NAME (no code crosses the wire — the TPU analog of the
+# reference's ASL slots, which are compiled into the binary at build time
+# and merely *selected* at runtime via albedoShaderID, shader.h:5-18).
+NAMED_SHADERS = {
+    "yellow": _placeholder,
+    "checker": _checker,
+    "normal_rgb": _normal_rgb,
+    "uv_gradient": _uv_gradient,
+}
+
+
+def register_named_shader(name: str, fn) -> None:
+    """Extend the named library (Python API; server selection is by name)."""
+    NAMED_SHADERS[name] = fn
+
+
 def apply_shaders(shader_id, albedo, position, view_dir, normal, gnormal,
                   tu, tv):
     """Replace albedo where shader_id != -1 (kernel.cpp:530-536).

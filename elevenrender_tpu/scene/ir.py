@@ -80,6 +80,17 @@ class RenderConfig:
     # (drops one horizontal reduction per interior visit — A/B knob, see
     # ops/bvh_pallas.traverse_pallas).
     trace_order: str = "near"
+    # Leaf-row AABB pre-test in the Pallas leaf scan: 0 = off, 1 = one
+    # packed box per 8-tri row, 2 = two boxes per row (4-tri halves).
+    # The boxes ride in the tri rows' spare lanes (no extra traffic);
+    # a failed test branches over the whole Möller-Trumbore block.
+    # Results identical.  MEASURED NEGATIVE at the default sub=32 (r5):
+    # a 4096-ray tile's union touches nearly every row, so the skip rate
+    # (8-14% of slots) never covers the per-row test+branch — full step
+    # 2128 (off) vs 2431 (+14%, mode 1) vs 2820 ms (+33%, mode 2),
+    # .runlogs/ab_leafaabb_66k2.log + step probe; docs/PERF.md.  Kept as
+    # the documented-negative A/B knob.
+    leaf_aabb: int = 0
     # Morton-sort rays before packet/pallas traversal (ops/sort.py) so
     # tiles stay spatially compact; essential for secondary/shadow rays.
     sort_rays: bool = True

@@ -104,6 +104,23 @@ class RenderClient:
              "radiance": list(map(float, radiance))}))
         self._expect_ok()
 
+    def load_osl_material(self, material: str, shader: str,
+                          slot: int | None = None) -> None:
+        """Bind a NAMED shader from the server's registry to a material's
+        albedo slot (render/shaders.NAMED_SHADERS) — the wire-reachable
+        form of the reference's ASL albedoShaderID hook (shader.h:5-18,
+        declared-but-unhandled at main.cpp:60)."""
+        cmd = f"--load_osl_material --material {material} --shader {shader}"
+        if slot is not None:
+            cmd += f" --slot {slot}"
+        self.command(cmd)
+        self._expect_ok()
+
+    def help(self) -> str:
+        """Command vocabulary (the reference's --help, main.cpp:48-83)."""
+        self.command("--help")
+        return self.recv().get_string_data()
+
     def start(self) -> None:
         self.command("--start")
         self._expect_ok()

@@ -122,6 +122,8 @@ class CommandSession:
         self.config = RenderConfig()
         self.renderer: Renderer | None = None
         self._config_dirty = True
+        # shader name -> registry slot bound via load_osl_material.
+        self._shader_slots: dict[str, int] = {}
 
     # ---- command handling ----------------------------------------------
     def handle_command(self, command_str: str) -> bool:
@@ -148,8 +150,7 @@ class CommandSession:
             elif "load_point_light" in flags:
                 self._load_point_light(path)
             elif "load_osl_material" in flags:
-                log.error("load_osl_material not implemented")  # parity
-                self.send(Message.ok())
+                self._load_osl_material(path, flags)
             elif "start" in flags:
                 self._start()
             elif "pause" in flags:
@@ -168,6 +169,8 @@ class CommandSession:
                     self.renderer.join()
                     self.renderer = None
                 self.send(Message.ok())
+            elif "help" in flags:
+                self._help()
             elif "get_info" in flags:
                 self._get_info()
             elif "get_sycl_info" in flags:
@@ -266,6 +269,69 @@ class CommandSession:
             radiance=np.asarray(obj["radiance"], np.float32)))
         self.send(Message.ok())
 
+    def _load_osl_material(self, path, flags):
+        """Programmable-shader binding over the wire — the capability the
+        reference declares but never handles (main.cpp:60; the ASL slots
+        exist only as build-time LLVM-IR splices, shader.h:5-18).
+
+        No code crosses the wire: the command SELECTS a shader from the
+        named registry (render/shaders.NAMED_SHADERS) and binds it to a
+        material's albedo slot, exactly how the reference's
+        albedoShaderID selects one of its 4 compiled-in bodies
+        (kernel.cpp:530-536).  Two forms:
+
+          load_osl_material --material <mat> --shader <name> [--slot N]
+          load_osl_material --path spec.json   # same keys in JSON
+
+        Unknown shader names and missing arguments keep the reference's
+        no-op behavior (log + OK) so legacy clients are unaffected."""
+        from ..render import shaders as shader_registry
+        spec = {}
+        if path:
+            with open(path) as f:
+                spec = json.load(f)
+        if "material" in flags and flags["material"]:
+            spec["material"] = flags["material"][0]
+        if "shader" in flags and flags["shader"]:
+            spec["shader"] = flags["shader"][0]
+        if "slot" in flags and flags["slot"]:
+            spec["slot"] = int(flags["slot"][0])
+
+        name = spec.get("shader")
+        mat_name = spec.get("material")
+        if not name or not mat_name:
+            log.error("load_osl_material needs --material and --shader "
+                      "(or a --path JSON with those keys); ignoring")  # parity
+            self.send(Message.ok())
+            return
+        fn = shader_registry.NAMED_SHADERS.get(name)
+        if fn is None:
+            log.error("load_osl_material: unknown shader %r (known: %s); "
+                      "ignoring", name,
+                      sorted(shader_registry.NAMED_SHADERS))
+            self.send(Message.ok())
+            return
+        slot = spec.get("slot")
+        if slot is None:
+            slot = self._shader_slots.get(
+                name, len(self._shader_slots) % shader_registry.MAX_SHADERS)
+        slot = int(slot)
+        shader_registry.register_shader(slot, fn)
+        self._shader_slots[name] = slot
+
+        mat = next((m for m in self.scene.materials if m.name == mat_name),
+                   None)
+        if mat is None:
+            log.error("load_osl_material: material %r not loaded; ignoring",
+                      mat_name)
+            self.send(Message.ok())
+            return
+        mat.albedo_shader_id = slot
+        self.scene.dirty = True
+        log.info("Bound shader %r (slot %d) to material %r albedo",
+                 name, slot, mat_name)
+        self.send(Message.ok())
+
     def _load_object(self, path, recompute_normals):
         if path:
             meshes, mtl_mats = load_objs(path,
@@ -308,6 +374,36 @@ class CommandSession:
         self.renderer = Renderer(config, ir)
         self.renderer.start(config.sample_target)
         self.send(Message.ok())
+
+    _HELP_TEXT = """Allowed options:
+  --help                     show this message
+  --load_config              load render config (JSON follows, or --path)
+  --load_camera              load camera (JSON follows, or --path)
+  --load_texture             load texture (JSON + float data follow, or
+                             --path; flags: --mirror_x --mirror_y)
+  --load_hdri                load environment (JSON + float data follow,
+                             or --path; flags: --mirror_x --mirror_y)
+  --load_brdf_material       load Disney BRDF material (JSON, or --path)
+  --load_osl_material        bind a named shader to a material's albedo:
+                             --material <mat> --shader <name> [--slot N]
+  --load_object              load OBJ (obj + mtl strings follow, or --path;
+                             flag: --recompute_normals)
+  --load_point_light         load point light (JSON, or --path)
+  --start                    build scene and start rendering (resumes after
+                             pause)
+  --pause                    stop rendering, keep progress
+  --abort                    stop rendering, discard progress
+  --get_info                 render progress JSON
+  --get_sycl_info            device inventory JSON
+  --get_pass <name>          fetch pass (beauty/denoise/normal/tangent/
+                             bitangent); --output <path> saves a PNG instead
+"""
+
+    def _help(self):
+        """The reference's --help (boost::program_options description,
+        main.cpp:48-86) — sent as a string message."""
+        from .protocol import Message as M
+        self.send(M("data", "string", self._HELP_TEXT.encode()))
 
     def _get_info(self):
         info = {"samples": 0}

@@ -161,13 +161,98 @@ def read_hdr(path: str) -> np.ndarray:
     return rgbe[..., :3].astype(np.float32) * scale[..., None]
 
 
+def read_bmp(path: str) -> np.ndarray:
+    """Decode an uncompressed BMP (24/32-bit, BITMAPINFOHEADER) ->
+    [H, W, C] float32 in [0, 1] (stb coverage, Texture.cpp:9-38)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (off,) = struct.unpack("<I", data[10:14])
+    (hsz,) = struct.unpack("<I", data[14:18])
+    if hsz < 40:
+        raise ValueError("BMP: unsupported core header")
+    w, h = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (comp,) = struct.unpack("<I", data[30:34])
+    if comp not in (0, 3) or bpp not in (24, 32):
+        raise ValueError(f"BMP: unsupported bpp={bpp} compression={comp}")
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    c = bpp // 8
+    stride = (w * c + 3) & ~3
+    if off + stride * h > len(data):
+        raise ValueError("BMP: truncated pixel data")
+    rows = np.frombuffer(data, np.uint8, stride * h, off)
+    img = rows.reshape(h, stride)[:, :w * c].reshape(h, w, c)
+    if flip:
+        img = img[::-1]
+    img = img[..., [2, 1, 0, 3] if c == 4 else [2, 1, 0]]  # BGR(A)->RGB(A)
+    return img.astype(np.float32) / 255.0
+
+
+def read_tga(path: str) -> np.ndarray:
+    """Decode a TGA (types 2/10 truecolor incl. RLE, 3 grayscale) ->
+    [H, W, C] float32 in [0, 1]."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 18:
+        raise ValueError("TGA: truncated header")
+    idlen, cmap_type, img_type = data[0], data[1], data[2]
+    w, h = struct.unpack("<HH", data[12:16])
+    bpp, desc = data[16], data[17]
+    if cmap_type != 0 or img_type not in (2, 3, 10):
+        raise ValueError(f"TGA: unsupported type {img_type}")
+    if bpp not in (8, 24, 32) or (img_type == 3) != (bpp == 8):
+        raise ValueError(f"TGA: unsupported bpp {bpp}")
+    c = bpp // 8
+    pos = 18 + idlen
+    n = w * h
+    if img_type == 10:  # RLE
+        out = np.empty((n, c), np.uint8)
+        i = 0
+        while i < n:
+            if pos >= len(data):
+                raise ValueError("TGA: truncated RLE data")
+            hdr = data[pos]
+            pos += 1
+            cnt = (hdr & 0x7F) + 1
+            if hdr & 0x80:  # run packet
+                out[i:i + cnt] = np.frombuffer(data, np.uint8, c, pos)
+                pos += c
+            else:  # raw packet
+                out[i:i + cnt] = np.frombuffer(
+                    data, np.uint8, c * cnt, pos).reshape(cnt, c)
+                pos += c * cnt
+            i += cnt
+        img = out.reshape(h, w, c)
+    else:
+        if pos + n * c > len(data):
+            raise ValueError("TGA: truncated pixel data")
+        img = np.frombuffer(data, np.uint8, n * c, pos).reshape(h, w, c)
+    if not (desc & 0x20):  # bit 5 clear = bottom-up origin
+        img = img[::-1]
+    if c >= 3:
+        img = img[..., [2, 1, 0, 3] if c == 4 else [2, 1, 0]]  # BGR->RGB
+    return img.astype(np.float32) / 255.0
+
+
 def read_image(path: str) -> np.ndarray:
-    """Dispatch by extension; PNG and Radiance HDR natively, else PIL."""
+    """Dispatch by extension — PNG, Radiance HDR, baseline JPEG, BMP and
+    TGA natively (the formats the reference reaches through stb_image,
+    Texture.cpp:9-38); PIL as a last-resort fallback for anything else."""
     low = path.lower()
     if low.endswith(".png"):
         return read_png(path)
     if low.endswith(".hdr") or low.endswith(".rgbe"):
         return read_hdr(path)
+    if low.endswith(".jpg") or low.endswith(".jpeg"):
+        from .jpeg import read_jpeg
+        return read_jpeg(path)
+    if low.endswith(".bmp"):
+        return read_bmp(path)
+    if low.endswith(".tga"):
+        return read_tga(path)
     try:
         from PIL import Image
         arr = np.asarray(Image.open(path)).astype(np.float32) / 255.0

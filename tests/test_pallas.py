@@ -216,18 +216,57 @@ def test_count_steps_counters():
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
 
     c = np.asarray(c)
-    assert c.shape[1] == 3 and (c >= 0).all()
-    visits, leafrows, leafparents = c[:, 0], c[:, 1], c[:, 2]
+    assert c.shape[1] == 4 and (c >= 0).all()
+    visits, leafrows, leafparents, slots = (c[:, 0], c[:, 1], c[:, 2],
+                                            c[:, 3])
     assert (visits >= 1).all()
     assert (leafparents <= visits).all()
     # Each counted leaf-parent visit scans at least one row per
     # overlapping child.
     assert (leafrows >= leafparents).all()
+    # Without leaf_aabb every touched row is fully MT-tested (8 slots).
+    np.testing.assert_array_equal(slots, leafrows * 8)
 
     _, _, c2 = traverse_pallas(nodes, leaf, tris9, o, d, depth=bvh["depth"],
                                max_leaf=bvh["max_leaf"], interpret=True,
                                sub=8, stream=True, count_steps=True)
     np.testing.assert_array_equal(c, np.asarray(c2))
+
+
+def test_leaf_aabb_parity():
+    """leaf_aabb (the packed row/half-row AABB pre-test) must be a pure
+    work-skip: identical hits in nearest AND any-hit modes, VMEM and
+    stream residencies, and the slots-tested counter must not exceed the
+    leaf_aabb=0 count."""
+    tris, o, d = random_scene(900, 4096, seed=7)
+    bvh = build_bvh(tris)
+    st = tris[np.asarray(bvh["perm"])]
+    nodes, leaf, tris9 = pack_bvh_for_pallas(bvh, st)
+    kw = dict(depth=bvh["depth"], max_leaf=bvh["max_leaf"], interpret=True,
+              sub=8)
+    i0, t0 = traverse_pallas(nodes, leaf, tris9, o, d, **kw)
+    N = o.shape[0]
+    rng = np.random.default_rng(1)
+    excl = jnp.asarray(rng.integers(-1, 900, N).astype(np.int32))
+    tmax = jnp.asarray(np.where(rng.random(N) < 0.5, np.inf,
+                                rng.uniform(1, 10, N)).astype(np.float32))
+    a0, _ = traverse_pallas(nodes, leaf, tris9, o, d, exclude=excl,
+                            t_max=tmax, **kw)
+    _, _, c0 = traverse_pallas(nodes, leaf, tris9, o, d, count_steps=True,
+                               **kw)
+    for la in (1, 2):
+        for stream in (False, True):
+            i1, t1 = traverse_pallas(nodes, leaf, tris9, o, d,
+                                     stream=stream, leaf_aabb=la, **kw)
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+            np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        a1, _ = traverse_pallas(nodes, leaf, tris9, o, d, exclude=excl,
+                                t_max=tmax, leaf_aabb=la, **kw)
+        np.testing.assert_array_equal(np.asarray(a0) >= 0,
+                                      np.asarray(a1) >= 0)
+        _, _, c1 = traverse_pallas(nodes, leaf, tris9, o, d,
+                                   count_steps=True, leaf_aabb=la, **kw)
+        assert np.asarray(c1)[:, 3].sum() <= np.asarray(c0)[:, 3].sum()
 
 
 def test_anyhit_occlusion_matches_ground_truth():
