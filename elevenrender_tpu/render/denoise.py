@@ -158,16 +158,27 @@ def _down2(x):
             + x[0::2, 1::2] + x[1::2, 1::2]) * 0.25
 
 
+def _box3_edge(x):
+    """3x3 box with EDGE padding (no wraparound).  The NLM taps above
+    use rolls deliberately (each tap is distance-weighted, so the 1-px
+    wrapped band is negligible); here the band is added UNWEIGHTED, and
+    a rolled box would bleed coarse content between opposite borders
+    (ADVICE r4)."""
+    p = jnp.pad(x, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    s = p[:-2] + p[1:-1] + p[2:]
+    return (s[:, :-2] + s[:, 1:-1] + s[:, 2:]) / 9.0
+
+
 def _up2(x, h, w):
-    """2x nearest upsample + 3x3 box (cheap bilinear-ish — the band being
-    upsampled is a low-frequency correction, so block edges must not
-    survive), cropped/edge-padded to (h, w)."""
+    """2x nearest upsample + 3x3 edge-padded box (cheap bilinear-ish —
+    the band being upsampled is a low-frequency correction, so block
+    edges must not survive), cropped/edge-padded to (h, w)."""
     r = jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
     if r.shape[0] < h:
         r = jnp.concatenate([r, r[-1:]], axis=0)
     if r.shape[1] < w:
         r = jnp.concatenate([r, r[:, -1:]], axis=1)
-    return _box3(r[:h, :w])
+    return _box3_edge(r[:h, :w])
 
 
 @functools.partial(jax.jit, static_argnames=("levels", "radius"))

@@ -93,16 +93,36 @@ def _accum_fwd_chunk(config, merged_ir, state, n: int):
     return jax.lax.fori_loop(0, n, body, state)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=2)
+def _accum_fwd_chunk_record(config, merged_ir, state, n: int):
+    """n forward samples in one executable, RECORDING each sample's
+    discrete trace results (hit ids + occlusion bits) for pass 2 to
+    replay.  Returns (state, caches) with caches stacked [n, ...]."""
+    def body(st, _):
+        st2, cache = render_sample(config, merged_ir, st, record=True)
+        return st2, cache
+    return jax.lax.scan(body, state, None, length=n)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 5))
-def _accum_bwd_chunk(config, ir, params, seed, rng, n: int):
-    """n per-sample VJP accumulations in one executable (pass 2 unit)."""
+def _accum_bwd_chunk(config, ir, params, seed, rng, n: int, caches=None):
+    """n per-sample VJP accumulations in one executable (pass 2 unit).
+
+    ``caches``: pass-1 trace recordings stacked [n, ...]; when given,
+    each sample's VJP REPLAYS them — the backward pass then runs zero
+    BVH traversals and zero ray sorts (together ~100% of the step;
+    shading is ~0%, docs/PERF.md), which is exact because discrete trace
+    results are detached constants of the estimator either way."""
     npix = seed.shape[0]
 
     def body(i, carry):
         grads, rng = carry
+        cache_i = (None if caches is None
+                   else jax.tree.map(lambda a: a[i], caches))
 
         def f(p):
-            out, rng2 = sample_radiance(config, _merge(ir, p), rng, npix)
+            out, rng2 = sample_radiance(config, _merge(ir, p), rng, npix,
+                                        trace_cache=cache_i)
             return out["light"], (out["ok"], rng2)
 
         light, vjp, (ok, rng2) = jax.vjp(f, params, has_aux=True)
@@ -115,7 +135,8 @@ def _accum_bwd_chunk(config, ir, params, seed, rng, n: int):
 
 
 def render_loss_and_grad_accum(config, ir, params, target, n_samples: int,
-                               chunk: int | None = None):
+                               chunk: int | None = None,
+                               cache_traces: bool = True):
     """Flat-memory n-sample gradient: the two-pass estimator.
 
     Differentiating render_loss_and_grad at the BASELINE shape (1024²,
@@ -141,6 +162,14 @@ def render_loss_and_grad_accum(config, ir, params, target, n_samples: int,
     integrator.recommended_samples_per_dispatch, which bounds the chunk
     by scene scale (8 at 66k VMEM-mode ~ 19 s, 1 at 1M stream ~ 25 s).
 
+    ``cache_traces`` (default on): pass 1 records each sample's discrete
+    trace results (hit tri ids + occlusion bits, ~6 bytes/pixel/bounce —
+    ~1.9 GB at the 1024² 64-spp headline shape) and pass 2 REPLAYS them,
+    so the backward runs no traversal and no sorts at all.  Exact: the
+    detached-sampling estimator treats those results as constants of the
+    backward pass either way.  Turn off only when HBM is too tight for
+    the cache (pass 2 then re-traces every sample).
+
     Native mode only (compat's sample-count-starts-at-1 average
     intentionally dims; gradients target the unbiased native estimate).
     """
@@ -152,10 +181,15 @@ def render_loss_and_grad_accum(config, ir, params, target, n_samples: int,
 
     # ---- pass 1: forward only, chunked ---------------------------------
     state = init_state(config)
+    caches = []
     done = 0
     while done < n_samples:
         n = min(chunk, n_samples - done)
-        state = _accum_fwd_chunk(config, merged, state, n)
+        if cache_traces:
+            state, cache = _accum_fwd_chunk_record(config, merged, state, n)
+            caches.append(cache)
+        else:
+            state = _accum_fwd_chunk(config, merged, state, n)
         done += n
     img = state["passes"][BEAUTY, :, :3]
     count = jnp.maximum(state["samples"].astype(jnp.float32), 1.0)
@@ -168,9 +202,12 @@ def render_loss_and_grad_accum(config, ir, params, target, n_samples: int,
     grads = jax.tree.map(jnp.zeros_like, params)
     rng = init_state(config)["rng"]
     done = 0
+    ci = 0
     while done < n_samples:
         n = min(chunk, n_samples - done)
-        g, rng = _accum_bwd_chunk(config, ir, params, seed, rng, n)
+        g, rng = _accum_bwd_chunk(config, ir, params, seed, rng, n,
+                                  caches[ci] if cache_traces else None)
+        ci += 1
         grads = jax.tree.map(jnp.add, grads, g)
         done += n
     return loss, grads

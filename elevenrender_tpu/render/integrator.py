@@ -8,8 +8,13 @@ becomes a lane mask, so the program is pure vector arithmetic + gathers
 that XLA fuses and schedules on the VPU, with the BVH walk as the only
 while_loop.
 
-Parity notes (compat=True replicates reference quirks bit-for-bit in
-structure — see each site):
+Parity notes (compat=True replicates the reference's quirks structurally
+— draw order, gating, estimator shape — as verified against this repo's
+scalar oracle port of kernel.cpp, tests/oracle.py; the SYCL binary has
+never produced pixels to compare against, and texture paths CANNOT be
+bit-equal anyway: the reference's fast_pow gamma is broken and returns 0
+for every input, see scene/texture.py:apply_gamma — so "compat" means
+faithful-to-intent with documented bounds, not bit-identical):
 - RNG draw order per pixel/sample: 5 camera draws, then per bounce
   1 opacity draw + (3+1) sampling draws only on the shaded path
   (kernel.cpp:492-545; C++ arg evaluation assumed left-to-right).
@@ -339,7 +344,8 @@ def _generate_hitdata(config, ir, hit, ray_d):
     return hd
 
 
-def sample_radiance(config, ir, rng, npix, pixel_offset=0):
+def sample_radiance(config, ir, rng, npix, pixel_offset=0,
+                    trace_cache=None, record=False):
     """One full path-traced sample for every pixel: camera ray + bounce
     loop, WITHOUT the progressive accumulation (split out so the
     two-pass gradient accumulator in render/grad.py can VJP a single
@@ -348,6 +354,18 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0):
     Returns (out, rng) where out = {"light" (post-clamp), "ok" (the NaN
     guard, kernel.cpp:600), "normal"/"tangent"/"bitangent"/"albedo"
     first-hit AOVs, "rays" instrumentation}.
+
+    ``record=True``: additionally return out["trace"], the per-bounce
+    DISCRETE trace results — path-hit tri ids and shadow occlusion bits
+    ({"hit" [B, npix] i32, "occ" [B, npix] bool, +"locc" with point
+    lights}).  ``trace_cache=<that pytree>``: REPLAY those results
+    instead of tracing — the bounce loop then runs no BVH traversal and
+    no ray sort at all.  Because the detached-sampling estimator treats
+    every discrete decision as a constant of the backward pass anyway
+    (hit selection is non-differentiable by construction), a replayed
+    VJP is EXACTLY the gradient of the traced forward — this is what
+    lets the gradient accumulator's pass 2 skip ~100% of traversal+sort
+    (together ~all of the step; shading measured ~0%, docs/PERF.md).
     """
     x_res, y_res = config.x_res, config.y_res
 
@@ -389,17 +407,31 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0):
     # rays are already pixel-ordered (and share one origin), so a sort
     # would only shuffle by direction octant.  (Per-trace sorting was 22%
     # of the step, docs/PERF.md.)
-    use_sort = _uses_sort(config, ir)
+    replay = trace_cache is not None
+    use_sort = _uses_sort(config, ir) and not replay
     order0 = jnp.arange(npix, dtype=jnp.int32)
+    merge_lights = (not config.compat) and config.n_lights > 0
+    if record:
+        cache0 = {"hit": jnp.zeros((config.max_bounces, npix), jnp.int32),
+                  "occ": jnp.zeros((config.max_bounces, npix), bool)}
+        if merge_lights:
+            cache0["locc"] = jnp.zeros((config.max_bounces, npix), bool)
+    else:
+        cache0 = {}
 
     def bounce_body(bounce, carry):
         (rng, ray_o, ray_d, light, reduction, alive,
          aov_normal, aov_tangent, aov_bitangent, aov_albedo,
-         prev_brdf_pdf, had_bounce, rays, order, inverse) = carry
+         prev_brdf_pdf, had_bounce, rays, order, inverse, cache) = carry
         if config.count_rays:
             rays = rays + jnp.sum(alive.astype(jnp.float32))
-        hit_idx, hit_t = _trace(config, ir, ray_o, ray_d, mask=alive,
-                                perm=(order, inverse) if use_sort else None)
+        if replay:
+            hit_idx = jax.lax.stop_gradient(
+                jnp.take(trace_cache["hit"], bounce, axis=0))
+        else:
+            hit_idx, hit_t = _trace(
+                config, ir, ray_o, ray_d, mask=alive,
+                perm=(order, inverse) if use_sort else None)
 
         miss = alive & (hit_idx < 0)
         env_val = hdri_ops.env_radiance(env, ray_d)
@@ -438,6 +470,10 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0):
             sx, sy = hdri_ops.sample_env(env, r_hdri)
             nu = sx.astype(jnp.float32) / jnp.float32(W)
             nv = sy.astype(jnp.float32) / jnp.float32(H)
+        elif config.env_sampler == "alias":
+            # O(1) alias-table texel pick (two gathers) instead of the
+            # log(H*W) CDF search — same single draw, same jittered pdf.
+            sx, sy = hdri_ops.sample_env_alias(env, r_hdri)
         else:
             sx, sy = hdri_ops.sample_env_exact(env, r_hdri)
             # Uniform jitter WITHIN the chosen texel: the sampler's true
@@ -471,7 +507,6 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0):
                 ir["bvh"]["node_bmax"][0], mask=alive,
                 dir_major=config.sort_dir_major, impl=config.sort_impl)
 
-        merge_lights = (not config.compat) and config.n_lights > 0
         if merge_lights:
             rng, r_l = rng_mod.next_float_masked(rng, shade)
             n_l = config.n_lights
@@ -483,7 +518,8 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0):
             wi_l = to_light / ldist[..., None]
             # Reuse the bounce permutation per half: each half is packed
             # with the same hit-point ordering (halves are tile-aligned
-            # whenever npix is a tile multiple).
+            # whenever npix is a tile multiple).  config.shadow_sort
+            # replaces this with a dedicated gate-keyed sort below.
             perm2 = ((jnp.concatenate([order, order + npix]),
                       jnp.concatenate([inverse, inverse + npix]))
                      if use_sort else None)
@@ -499,16 +535,33 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0):
             g_common = shade & (dot(wo, n) > 0.0) \
                 & (hd["transmission"] < 1.0)
             g_hdri = g_common & (dot(wihdri, n) > 0.0)
-        if merge_lights:
+        if replay:
+            occluded = jnp.take(trace_cache["occ"], bounce, axis=0)
+            if merge_lights:
+                g_l = g_common & (dot(wi_l, n) > 0.0)
+                l_occluded = jnp.take(trace_cache["locc"], bounce, axis=0)
+        elif merge_lights:
             g_l = g_common & (dot(wi_l, n) > 0.0)
             # Occlusion query (any-hit on the Pallas paths): source tri
             # excluded in-kernel, point-light half distance-limited.
             inf_col = jnp.full((npix,), jnp.inf, jnp.float32)
+            so2 = jnp.concatenate(
+                [shadow_o, hd["position"] + wi_l * 1e-3], 0)
+            sd2 = jnp.concatenate([wihdri, wi_l], 0)
+            g2 = jnp.concatenate([g_hdri, g_l], 0)
+            if use_sort and config.shadow_sort:
+                # Gate-keyed shadow permutation (VERDICT r4 #7): dead =
+                # gate-failed lanes pack into tail tiles that terminate
+                # at the root, instead of riding scattered through live
+                # tiles under the alive-keyed bounce permutation.
+                from ..ops.sort import sort_for_packets
+                perm2 = sort_for_packets(
+                    so2, sd2, ir["bvh"]["node_bmin"][0],
+                    ir["bvh"]["node_bmax"][0], mask=g2,
+                    dir_major=config.sort_dir_major,
+                    impl=config.sort_impl)
             both_idx, both_t = _trace(
-                config, ir,
-                jnp.concatenate([shadow_o, hd["position"] + wi_l * 1e-3], 0),
-                jnp.concatenate([wihdri, wi_l], 0),
-                mask=jnp.concatenate([g_hdri, g_l], 0),
+                config, ir, so2, sd2, mask=g2,
                 perm=perm2,
                 exclude=jnp.concatenate([hit_idx, hit_idx]),
                 t_max=jnp.concatenate([inf_col, ldist - 1e-3]))
@@ -522,11 +575,25 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0):
                               perm=(order, inverse) if use_sort else None)
             occluded = (s_idx >= 0) & (s_idx != hit_idx)
         else:
+            if use_sort and config.shadow_sort:
+                from ..ops.sort import sort_for_packets
+                perm_s = sort_for_packets(
+                    shadow_o, wihdri, ir["bvh"]["node_bmin"][0],
+                    ir["bvh"]["node_bmax"][0], mask=g_hdri,
+                    dir_major=config.sort_dir_major, impl=config.sort_impl)
+            else:
+                perm_s = (order, inverse) if use_sort else None
             s_idx, _ = _trace(config, ir, shadow_o, wihdri, mask=g_hdri,
-                              perm=(order, inverse) if use_sort else None,
+                              perm=perm_s,
                               exclude=hit_idx,
                               t_max=jnp.full((npix,), jnp.inf, jnp.float32))
             occluded = s_idx >= 0
+        if record:
+            cache = dict(cache)
+            cache["hit"] = cache["hit"].at[bounce].set(hit_idx)
+            cache["occ"] = cache["occ"].at[bounce].set(occluded)
+            if merge_lights:
+                cache["locc"] = cache["locc"].at[bounce].set(l_occluded)
         hdri_val = hdri_ops.env_fetch_uv(env, nu, nv)
         hdri_val = where3(occluded, jnp.zeros_like(hdri_val), hdri_val)
         f_nee = disney_eval(hd, wo, n, wihdri)
@@ -593,26 +660,29 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0):
                 rays = rays + jnp.sum(g_hdri.astype(jnp.float32))
         return (rng, ray_o, ray_d, light, reduction, alive,
                 aov_normal, aov_tangent, aov_bitangent, aov_albedo,
-                prev_brdf_pdf, had_bounce, rays, order, inverse)
+                prev_brdf_pdf, had_bounce, rays, order, inverse, cache)
 
     carry = (rng, ray_o, ray_d, light, reduction, alive,
              aov_normal, aov_tangent, aov_bitangent, aov_albedo,
-             prev_brdf_pdf, had_bounce, rays, order0, order0)
+             prev_brdf_pdf, had_bounce, rays, order0, order0, cache0)
     body = (jax.checkpoint(bounce_body) if config.remat_bounces
             else bounce_body)
     (rng, ray_o, ray_d, light, reduction, alive,
      aov_normal, aov_tangent, aov_bitangent, aov_albedo,
-     prev_brdf_pdf, had_bounce, rays, _, _) = jax.lax.fori_loop(
+     prev_brdf_pdf, had_bounce, rays, _, _, cache) = jax.lax.fori_loop(
         0, config.max_bounces, body, carry)
 
     light = jnp.clip(light, 0.0, config.clamp_radiance)
     ok = ~jnp.any(jnp.isnan(light), axis=-1)
-    return {"light": light, "ok": ok, "normal": aov_normal,
-            "tangent": aov_tangent, "bitangent": aov_bitangent,
-            "albedo": aov_albedo, "rays": rays}, rng
+    out = {"light": light, "ok": ok, "normal": aov_normal,
+           "tangent": aov_tangent, "bitangent": aov_bitangent,
+           "albedo": aov_albedo, "rays": rays}
+    if record:
+        out["trace"] = cache
+    return out, rng
 
 
-def render_sample(config, ir, state, pixel_offset=0) -> dict:
+def render_sample(config, ir, state, pixel_offset=0, record=False):
     """Advance the accumulators by ONE progressive sample for every pixel
     in ``state`` (the full image, or a shard of it).
 
@@ -622,9 +692,14 @@ def render_sample(config, ir, state, pixel_offset=0) -> dict:
     ``pixel_offset``: global index of this state slice's first pixel —
     pass ``axis_index * local_npix`` under shard_map so camera rays and
     RNG streams stay globally correct (parallel/mesh.py).
+
+    ``record=True``: returns (state, trace_cache) — the per-bounce
+    discrete trace results the gradient accumulator replays in its
+    backward pass (see sample_radiance).
     """
     npix = state["samples"].shape[0]
-    out, rng = sample_radiance(config, ir, state["rng"], npix, pixel_offset)
+    out, rng = sample_radiance(config, ir, state["rng"], npix, pixel_offset,
+                               record=record)
     light, ok = out["light"], out["ok"]
     aov_normal, aov_tangent = out["normal"], out["tangent"]
     aov_bitangent, aov_albedo = out["bitangent"], out["albedo"]
@@ -649,15 +724,17 @@ def render_sample(config, ir, state, pixel_offset=0) -> dict:
     rgb = rgb + adds
     passes = passes.at[:, :, :3].set(rgb)
 
-    out = {
+    new_state = {
         "passes": passes,
         "samples": state["samples"] + ok.astype(jnp.uint32),
         "rng": rng,
     }
     if config.count_rays:
-        out["ray_count"] = state["ray_count"] + rays.astype(
+        new_state["ray_count"] = state["ray_count"] + rays.astype(
             state["ray_count"].dtype)
-    return out
+    if record:
+        return new_state, out["trace"]
+    return new_state
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)

@@ -107,6 +107,21 @@ class RenderConfig:
     # ops/sort.counting_order — O(n), tile-granular grouping; A/B knob,
     # docs/PERF.md 'next levers' #1).
     sort_impl: str = "argsort"
+    # Dedicated shadow-launch sort keyed on the NEE gates (VERDICT r4
+    # #7): the shared per-bounce permutation is keyed on `alive`, so
+    # gate-failed lanes stay scattered through live tiles as
+    # instant-miss rays; a dedicated sort keyed on g_hdri/g_l packs them
+    # into dead TAIL tiles that terminate at the root — at the cost of
+    # one extra argsort + gather/scatter set per bounce.  A/B knob
+    # (scripts/ab_shadowsort.py).
+    shadow_sort: bool = False
+    # Native-mode env texel sampler: "cdf" = exact searchsorted CDF
+    # inversion (log(H*W) gather chain); "alias" = O(1) Walker alias
+    # table (two gathers; ops/hdri.sample_env_alias).  Both consume one
+    # draw and share the jittered continuous pdf; estimates are
+    # different-but-unbiased sample streams.  Compat mode always uses
+    # the reference's quirky binary search.
+    env_sampler: str = "cdf"
     # Rematerialize each bounce in reverse-mode AD (jax.checkpoint on
     # the bounce body): the backward pass recomputes a bounce's
     # intermediates instead of storing them.  Required for gradients at

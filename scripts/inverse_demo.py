@@ -68,3 +68,148 @@ for name, data in (("inverse_recovered", img), ("inverse_target", timg)):
     write_png(os.path.join(outdir, f"{name}.png"),
               np.clip(np.abs(arr), 0, 1) ** (1 / 2.2))
 print("images written to", outdir)
+
+# ---------------------------------------------------------------------------
+# Stage 2 (VERDICT r4 #3): recover the CAMERA ROTATION from the target
+# image.  Same-estimator target (same spp + RNG stream) makes the true
+# rotation the exact minimizer; gradients flow through the Euler chain in
+# ops/camera.camera_ray.
+# ---------------------------------------------------------------------------
+print("\n[stage 2] camera rotation recovery")
+# Two standard inverse-rendering ingredients make this converge:
+# 1. Direct lighting (1 bounce): the camera feeds disney_sample through
+#    wo, and the sampled bounce direction is stop_gradient-detached —
+#    at 2+ bounces the descent direction is the biased
+#    detached-estimator one and the optimization oscillates (measured);
+#    at 1 bounce AD is exact (FD-pinned in
+#    tests/test_grad_and_sharding.py).
+# 2. Coarse-to-fine loss: plain MSE between misaligned images has no
+#    basin beyond ~1 px of image shift (the start, 0.06 rad, is ~2 px) —
+#    plain-MSE descent measurably WANDERS AWAY (err 0.06 -> 0.21).  A
+#    blurred-pyramid term (4x average pool) widens the basin to ~8 px,
+#    and the full-resolution term refines once roughly aligned.
+# 3. A SMOOTH radiance field: diffuse cornell walls under a constant
+#    env are (bitwise) CONSTANT under small rotations — a landscape
+#    probe measured a pure staircase (all pose signal in silhouette
+#    edges, which interior-gradient AD cannot see; that is what
+#    edge-sampling estimators exist for).  A bilinear-filtered smooth
+#    albedo texture over a heightfield gives every pixel a continuous,
+#    differentiable dependence on the ray direction.
+from elevenrender_tpu.scene.hdri import HDRI
+from elevenrender_tpu.scene.material import Material
+from elevenrender_tpu.scene.scene import Scene
+from elevenrender_tpu.scene.texture import Texture
+from scenes import heightfield_mesh
+
+scene2 = Scene()
+scene2.add_mesh(heightfield_mesh(24))
+# NON-periodic smooth texture: a periodic pattern (sin/cos) was tried
+# first and produced alias minima — the optimizer locked onto a wrong
+# lattice-shifted alignment (loss fell, pose error grew).  A single
+# anisotropic blob + corner gradient has one global alignment.
+yy, xx = np.mgrid[0:64, 0:64].astype(np.float32) / 64.0
+blob = np.exp(-(((xx - 0.62) / 0.22) ** 2 + ((yy - 0.37) / 0.14) ** 2))
+smooth = np.stack([0.15 + 0.8 * blob,
+                   0.15 + 0.7 * xx * yy,
+                   0.2 + 0.6 * (1.0 - xx) * yy], -1).astype(np.float32)
+scene2.add_texture(Texture("grad", smooth, Texture.FILTER_BILINEAR))
+terrain = Material(name="terrain",
+                   albedo=np.array([0.6, 0.6, 0.6], np.float32),
+                   roughness=0.8)
+terrain.albedo_map = "grad"
+terrain.compute_aniso_alphas()
+scene2.add_material(terrain)
+scene2.pair_materials()
+scene2.pair_textures()
+sky = np.full((8, 16, 3), 0.5, np.float32)
+sky[:4] = [0.7, 0.8, 1.0]
+scene2.add_hdri(HDRI(Texture("sky2", sky)))
+scene2.camera.position = np.array([0.0, 1.5, -4.0], np.float32)
+scene2.camera.rotation = np.array([15.0, 0.0, 0.0], np.float32)
+scene2.x_res = scene2.y_res = RES
+cfg_cam, ir_cam = scene2.build()
+cfg_cam = cfg_cam.replace(compat=False, max_bounces=1)
+
+true_rot = ir_cam["camera"]["rotation"]  # degrees
+target_cam, _ = render_beauty(cfg_cam, ir_cam, 2)
+target_cam = jax.lax.stop_gradient(target_cam)
+target_img = target_cam.reshape(RES, RES, 3)
+
+
+def _pool4(x):
+    return x.reshape(RES // 4, 4, RES // 4, 4, 3).mean(axis=(1, 3))
+
+
+@jax.jit
+def cam_loss_and_grad(rot):
+    def f(rot):
+        ir2 = dict(ir_cam)
+        ir2["camera"] = {**ir_cam["camera"], "rotation": rot}
+        img, _ = render_beauty(cfg_cam, ir2, 2)
+        img = img.reshape(RES, RES, 3)
+        # Coarse-to-fine: the 4x-pooled term widens the alignment basin
+        # to ~8 px; the full-res term refines once roughly aligned.
+        coarse = jnp.mean((_pool4(img) - _pool4(target_img)) ** 2)
+        fine = jnp.mean((img - target_img) ** 2)
+        return 4.0 * coarse + fine
+    return jax.value_and_grad(f)(rot)
+
+
+start_off = jnp.asarray([1.5, -1.2, 1.0], jnp.float32)  # degrees (~1 px)
+rot = true_rot + start_off
+# Line-searched steepest descent: a landscape probe shows a clean
+# monotone basin from the start to the truth, but Adam's per-coordinate
+# normalization lets the noisy roll component random-walk off the basin
+# (measured: loss ends HIGHER than it started).  Monotone backtracking
+# cannot increase the loss, so it settles into the basin floor.
+cur_loss, _ = cam_loss_and_grad(rot)
+cur_loss = float(cur_loss)
+for it in range(60):
+    _, g = cam_loss_and_grad(rot)
+    gn = g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
+    best = (cur_loss, rot)
+    for step in (0.5, 0.2, 0.08, 0.03, 0.01):
+        cand = rot - step * gn
+        l2, _ = cam_loss_and_grad(cand)
+        if float(l2) < best[0]:
+            best = (float(l2), cand)
+    cur_loss, rot = best
+    if it % 10 == 0:
+        err = float(jnp.abs(rot - true_rot).max())
+        print(f"iter {it:3d}  loss {cur_loss:.6f}  rot-err {err:.3f} deg")
+rot_err = float(jnp.abs(rot - true_rot).max())
+print(f"recovered rotation {np.asarray(rot)} "
+      f"(true {np.asarray(true_rot)}), max err {rot_err:.4f} deg "
+      f"(start err 1.5)")
+assert rot_err < 0.2, "camera rotation did not converge"
+
+# ---------------------------------------------------------------------------
+# Stage 3 (VERDICT r4 #3): recover a per-channel ENVIRONMENT TINT.  The
+# env image is a differentiable leaf; the 3-vector tint gradient is the
+# chain rule g_tint[c] = sum(g_img[..., c] * base[..., c]).
+# ---------------------------------------------------------------------------
+print("\n[stage 3] environment tint recovery")
+base_env = ir["env"]["img"]
+true_tint = jnp.asarray([1.6, 0.9, 0.5], jnp.float32)
+tinted_ir = dict(ir)
+tinted_ir["env"] = {**ir["env"], "img": base_env * true_tint}
+target_env, _ = render_beauty(config, tinted_ir, 2)
+target_env = jax.lax.stop_gradient(target_env)
+
+tint = jnp.ones((3,), jnp.float32)
+opt = optax.adam(0.05)
+opt_state = opt.init(tint)
+for it in range(120):
+    params = {"env": {"img": base_env * tint}}
+    loss, grads = render_loss_and_grad(config, ir, params, target_env, 2)
+    g_tint = jnp.sum(grads["env"]["img"] * base_env, axis=(0, 1))
+    updates, opt_state = opt.update(g_tint, opt_state)
+    tint = jnp.clip(optax.apply_updates(tint, updates), 0.0, 4.0)
+    if it % 20 == 0:
+        print(f"iter {it:3d}  loss {float(loss):.6f}  "
+              f"tint {np.asarray(tint)}")
+tint_err = float(jnp.abs(tint - true_tint).max())
+print(f"recovered tint {np.asarray(tint)} (true {np.asarray(true_tint)}), "
+      f"max err {tint_err:.4f}")
+assert tint_err < 0.05, "env tint did not converge"
+print("\nALL STAGES OK: albedo + camera rotation + env tint recovered")

@@ -198,3 +198,34 @@ def test_sort_impl_does_not_change_render():
     b = np.asarray(render_samples_jit(cfg_c, ir, init_state(cfg_c), 2)
                    ["passes"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_shadow_sort_does_not_change_render():
+    """config.shadow_sort swaps the shadow launch's permutation from the
+    shared alive-keyed one to a dedicated gate-keyed sort — permutations
+    are inverted after the trace, so the image must be unchanged (up to
+    equal-t ties — none on this scene/seed).  Covers both the merged
+    point-light launch and the env-only branch."""
+    import numpy as np
+    from scenes import cornell_scene
+    from elevenrender_tpu.render.integrator import (init_state,
+                                                    render_samples_jit)
+    from elevenrender_tpu.scene.scene import PointLight
+
+    scene, config, ir = cornell_scene(res=24, spp=2)
+    config = config.replace(compat=False, trace_mode="packet",
+                            max_bounces=3)
+    for n_lights in (0, 1):
+        cfg = config.replace(n_lights=n_lights)
+        ir2 = dict(ir)
+        if n_lights:
+            import jax.numpy as jnp
+            ir2["lights"] = {
+                "pos": jnp.asarray([[0.0, 1.5, -1.0]], jnp.float32),
+                "rad": jnp.asarray([[5.0, 5.0, 5.0]], jnp.float32)}
+        a = np.asarray(render_samples_jit(cfg, ir2, init_state(cfg), 2)
+                       ["passes"])
+        cfg_s = cfg.replace(shadow_sort=True)
+        b = np.asarray(render_samples_jit(cfg_s, ir2, init_state(cfg_s), 2)
+                       ["passes"])
+        np.testing.assert_array_equal(a, b)

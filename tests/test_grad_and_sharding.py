@@ -113,6 +113,37 @@ def test_accumulated_gradient_matches_direct():
                                    rtol=2e-4, atol=1e-6)
 
 
+def test_trace_cache_replay_matches_retrace():
+    """cache_traces=True (pass 2 replays pass 1's recorded hit ids and
+    occlusion bits, running zero traversals/sorts) must give the same
+    loss and gradients as the re-tracing accumulator: discrete trace
+    results are detached constants of the backward pass either way."""
+    from elevenrender_tpu.render.grad import render_loss_and_grad_accum
+    config, ir = small_config()
+    config = config.replace(n_lights=1)
+    ir = dict(ir)
+    ir["lights"] = {"pos": jnp.asarray([[0.0, 1.5, -1.0]], jnp.float32),
+                    "rad": jnp.asarray([[6.0, 5.0, 4.0]], jnp.float32)}
+    params = {"materials": float_subtree(ir["materials"]),
+              "env": {"img": ir["env"]["img"]},
+              "lights": {"rad": ir["lights"]["rad"]}}
+    state = init_state(config)
+    img = np.asarray(render_sample_jit(config, ir, state)[
+        "passes"][BEAUTY, :, :3])
+    target = jnp.asarray(img * 1.5 + 0.1)
+
+    loss_r, grads_r = render_loss_and_grad_accum(config, ir, params,
+                                                 target, 3,
+                                                 cache_traces=False)
+    loss_c, grads_c = render_loss_and_grad_accum(config, ir, params,
+                                                 target, 3,
+                                                 cache_traces=True)
+    assert np.isclose(float(loss_r), float(loss_c), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(grads_r), jax.tree.leaves(grads_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_remat_bounces_gradients_match():
     """remat_bounces (jax.checkpoint on the bounce body — the memory
     knob that makes 1M-tri 1024² gradients fit HBM, docs/PERF.md) must

@@ -163,3 +163,72 @@ def test_each_strategy_alone_is_unbiased_for_smooth_env():
     est = np.asarray(c.mean(axis=0))
     rel = np.abs(est - truth) / truth
     assert (rel < 0.05).all(), (est, truth, rel)
+
+
+def test_alias_table_exact_proportionality():
+    """The Walker alias table (ops/hdri.build_alias_table) must encode
+    the texel distribution EXACTLY: summing each bucket's retained and
+    donated mass recovers p to float tolerance, and a dense stratified
+    sweep of the unit interval lands in each texel proportionally."""
+    from elevenrender_tpu.ops.hdri import build_alias_table, sample_env_alias
+
+    rng = np.random.default_rng(9)
+    p = rng.uniform(0.0, 1.0, 64)
+    p[5] = 40.0  # hot texel
+    p[11] = 0.0  # empty texel
+    p = p / p.sum()
+    prob, alias = build_alias_table(p)
+    n = p.size
+    # Reconstruct: bucket j keeps prob[j]/n, donates (1-prob[j])/n to
+    # alias[j].
+    rec = prob / n
+    np.add.at(rec, alias, (1.0 - prob) / n)
+    np.testing.assert_allclose(rec, p, atol=1e-7)
+
+    # Stratified sweep through the sampler itself (img 8x8 = 64 texels).
+    img = (p.reshape(8, 8, 1) / 3.0).repeat(3, axis=2).astype(np.float32)
+    env = pack_hdri(HDRI(Texture("e", img)))
+    N = 200_000
+    r = jnp.asarray(((np.arange(N) + 0.5) / N).astype(np.float32))
+    sx, sy = sample_env_alias(env, r)
+    flat = np.asarray(sy) * 8 + np.asarray(sx)
+    hist = np.bincount(flat, minlength=64) / N
+    np.testing.assert_allclose(hist, p, atol=2e-3)
+    assert hist[11] == 0.0
+
+
+def test_alias_nee_estimator_matches_cdf():
+    """NEE through the alias sampler must estimate the same integral as
+    the searchsorted CDF sampler (different-but-unbiased streams)."""
+    from elevenrender_tpu.ops.hdri import sample_env_alias
+
+    rng = np.random.default_rng(13)
+    imgH, imgW = 8, 16
+    img = rng.uniform(0.05, 1.0, (imgH, imgW, 3)).astype(np.float32)
+    img[2, 3] = [30.0, 25.0, 20.0]
+    env = pack_hdri(HDRI(Texture("e", img)))
+    n_vec = jnp.array([[0.0, 0.0, 1.0]])
+    v_vec = normalize(jnp.array([[0.3, 0.1, 1.0]]))
+
+    N = 300_000
+    key_rng = np.random.default_rng(17)
+    r = jnp.asarray(key_rng.uniform(0, 1, N).astype(np.float32))
+    ju = jnp.asarray(key_rng.uniform(0, 1, N).astype(np.float32))
+    jv = jnp.asarray(key_rng.uniform(0, 1, N).astype(np.float32))
+    hdn = _hitdata(N)
+    vN = jnp.broadcast_to(v_vec, (N, 3))
+    nN = jnp.broadcast_to(n_vec, (N, 3))
+
+    ests = []
+    for sampler in (sample_env_exact, sample_env_alias):
+        sx, sy = sampler(env, r)
+        nu = (sx.astype(jnp.float32) + ju) / imgW
+        nv = (sy.astype(jnp.float32) + jv) / imgH
+        wi = -normalize(reverse_spherical_mapping(nu, nv))
+        pdf_e = env_pdf_uv(env, nu, nv)
+        c = env_fetch_uv(env, nu, nv) * disney_eval(hdn, vN, nN, wi) * \
+            jnp.abs(dot(wi, nN))[..., None] / \
+            jnp.maximum(pdf_e, 1e-12)[..., None]
+        ests.append(np.asarray(c.mean(axis=0)))
+    rel = np.abs(ests[0] - ests[1]) / np.maximum(ests[0], 1e-9)
+    assert (rel < 0.05).all(), ests
