@@ -470,12 +470,14 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0,
             sx, sy = hdri_ops.sample_env(env, r_hdri)
             nu = sx.astype(jnp.float32) / jnp.float32(W)
             nv = sy.astype(jnp.float32) / jnp.float32(H)
-        elif config.env_sampler == "alias":
-            # O(1) alias-table texel pick (two gathers) instead of the
-            # log(H*W) CDF search — same single draw, same jittered pdf.
-            sx, sy = hdri_ops.sample_env_alias(env, r_hdri)
         else:
-            sx, sy = hdri_ops.sample_env_exact(env, r_hdri)
+            if config.env_sampler == "alias":
+                # O(1) alias-table texel pick (two gathers) instead of
+                # the log(H*W) CDF search — same single draw, same
+                # jittered pdf.
+                sx, sy = hdri_ops.sample_env_alias(env, r_hdri)
+            else:
+                sx, sy = hdri_ops.sample_env_exact(env, r_hdri)
             # Uniform jitter WITHIN the chosen texel: the sampler's true
             # density is then piecewise-constant over (u, v) and
             # env_pdf_uv is exactly it.  Without the jitter a coarse env

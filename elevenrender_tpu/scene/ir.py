@@ -112,16 +112,20 @@ class RenderConfig:
     # gate-failed lanes stay scattered through live tiles as
     # instant-miss rays; a dedicated sort keyed on g_hdri/g_l packs them
     # into dead TAIL tiles that terminate at the root — at the cost of
-    # one extra argsort + gather/scatter set per bounce.  A/B knob
-    # (scripts/ab_shadowsort.py).
-    shadow_sort: bool = False
-    # Native-mode env texel sampler: "cdf" = exact searchsorted CDF
-    # inversion (log(H*W) gather chain); "alias" = O(1) Walker alias
-    # table (two gathers; ops/hdri.sample_env_alias).  Both consume one
-    # draw and share the jittered continuous pdf; estimates are
-    # different-but-unbiased sample streams.  Compat mode always uses
-    # the reference's quirky binary search.
-    env_sampler: str = "cdf"
+    # one extra argsort + gather/scatter set per bounce.  Default True
+    # since r5: measured -5.4% on the full bench step (2128 -> 2013
+    # ms/sample, .runlogs/ab_shadowsort.log); results invariant
+    # (tests/test_bvh.py::test_shadow_sort_does_not_change_render).
+    shadow_sort: bool = True
+    # Native-mode env texel sampler: "alias" = O(1) Walker alias table
+    # (two gathers; ops/hdri.sample_env_alias); "cdf" = exact
+    # searchsorted CDF inversion (log(H*W) gather chain).  Both consume
+    # one draw and share the jittered continuous pdf; estimates are
+    # different-but-unbiased sample streams.  Default "alias" since r5:
+    # -27% on the full step at a 2k x 1k HDRI (2659 -> 1945 ms/sample,
+    # .runlogs/ab_envsampler_2k.log), parity-to-noise at small envs.
+    # Compat mode always uses the reference's quirky binary search.
+    env_sampler: str = "alias"
     # Rematerialize each bounce in reverse-mode AD (jax.checkpoint on
     # the bounce body): the backward pass recomputes a bounce's
     # intermediates instead of storing them.  Required for gradients at

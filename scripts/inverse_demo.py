@@ -131,52 +131,90 @@ cfg_cam, ir_cam = scene2.build()
 cfg_cam = cfg_cam.replace(compat=False, max_bounces=1)
 
 true_rot = ir_cam["camera"]["rotation"]  # degrees
-target_cam, _ = render_beauty(cfg_cam, ir_cam, 2)
-target_cam = jax.lax.stop_gradient(target_cam)
-target_img = target_cam.reshape(RES, RES, 3)
+
 
 
 def _pool4(x):
     return x.reshape(RES // 4, 4, RES // 4, 4, 3).mean(axis=(1, 3))
 
 
+
+def _render_at(rot):
+    """First-hit ALBEDO AOV at a fixed RNG stream: the registration
+    observable.  Light-independent (no Monte-Carlo lighting noise — the
+    beauty-residual variant measurably stalls LM: away from the
+    exact-match needle the 2-16 spp noise floor swamps the sub-pixel
+    alignment signal), deterministic, and smooth through the bilinear
+    texture fetch; differentiates through the full camera -> hit ->
+    uv -> fetch chain."""
+    from elevenrender_tpu.render.integrator import (init_state,
+                                                    sample_radiance)
+    ir2 = dict(ir_cam)
+    ir2["camera"] = {**ir_cam["camera"], "rotation": rot}
+    out, _ = sample_radiance(cfg_cam, ir2, init_state(cfg_cam)["rng"],
+                             RES * RES)
+    return out["albedo"].reshape(RES, RES, 3)
+
+
+target_img = jax.lax.stop_gradient(_render_at(true_rot))
+
+
 @jax.jit
-def cam_loss_and_grad(rot):
-    def f(rot):
-        ir2 = dict(ir_cam)
-        ir2["camera"] = {**ir_cam["camera"], "rotation": rot}
-        img, _ = render_beauty(cfg_cam, ir2, 2)
-        img = img.reshape(RES, RES, 3)
-        # Coarse-to-fine: the 4x-pooled term widens the alignment basin
-        # to ~8 px; the full-res term refines once roughly aligned.
-        coarse = jnp.mean((_pool4(img) - _pool4(target_img)) ** 2)
-        fine = jnp.mean((img - target_img) ** 2)
-        return 4.0 * coarse + fine
-    return jax.value_and_grad(f)(rot)
+def res_coarse(rot):
+    """4x-pooled residuals: pooling averages out the silhouette-edge
+    noise the Jacobian cannot see, leaving the smooth wide basin."""
+    return (_pool4(_render_at(rot)) - _pool4(target_img)).reshape(-1)
+
+
+@jax.jit
+def res_fine(rot):
+    return (_render_at(rot) - target_img).reshape(-1)
+
+
+def lm(rot, res_fn, iters, trust, label):
+    """Levenberg-Marquardt with a trust-region step clamp.  First-order
+    descent measurably stalls here (Adam walks the noisy roll component
+    off the basin; line-searched steepest descent parks in a local
+    minimum 0.3 deg away) — with 3 parameters the Gauss-Newton normal
+    equations are trivial and LM follows the curved valley; the clamp
+    keeps steps inside the region the linearization (smooth paths only —
+    silhouette edges are invisible to AD) can be trusted."""
+    jac = jax.jit(jax.jacfwd(res_fn))
+    lam = 1e-2
+    r = res_fn(rot)
+    loss = float(jnp.mean(r * r))
+    for it in range(iters):
+        J = jac(rot)
+        JTJ = J.T @ J
+        JTr = J.T @ r
+        improved = False
+        for _ in range(10):
+            delta = jnp.linalg.solve(JTJ + lam * jnp.eye(3), -JTr)
+            nrm = float(jnp.linalg.norm(delta))
+            if nrm > trust:
+                delta = delta * (trust / nrm)
+            cand = rot + delta
+            r2 = res_fn(cand)
+            l2 = float(jnp.mean(r2 * r2))
+            if l2 < loss:
+                rot, r, loss = cand, r2, l2
+                lam = max(lam / 3.0, 1e-6)
+                improved = True
+                break
+            lam *= 4.0
+        if it % 5 == 0:
+            err = float(jnp.abs(rot - true_rot).max())
+            print(f"[{label}] iter {it:3d}  loss {loss:.7f}  "
+                  f"rot-err {err:.3f} deg  lam {lam:.1e}")
+        if not improved:
+            break
+    return rot
 
 
 start_off = jnp.asarray([1.5, -1.2, 1.0], jnp.float32)  # degrees (~1 px)
 rot = true_rot + start_off
-# Line-searched steepest descent: a landscape probe shows a clean
-# monotone basin from the start to the truth, but Adam's per-coordinate
-# normalization lets the noisy roll component random-walk off the basin
-# (measured: loss ends HIGHER than it started).  Monotone backtracking
-# cannot increase the loss, so it settles into the basin floor.
-cur_loss, _ = cam_loss_and_grad(rot)
-cur_loss = float(cur_loss)
-for it in range(60):
-    _, g = cam_loss_and_grad(rot)
-    gn = g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
-    best = (cur_loss, rot)
-    for step in (0.5, 0.2, 0.08, 0.03, 0.01):
-        cand = rot - step * gn
-        l2, _ = cam_loss_and_grad(cand)
-        if float(l2) < best[0]:
-            best = (float(l2), cand)
-    cur_loss, rot = best
-    if it % 10 == 0:
-        err = float(jnp.abs(rot - true_rot).max())
-        print(f"iter {it:3d}  loss {cur_loss:.6f}  rot-err {err:.3f} deg")
+rot = lm(rot, res_coarse, 25, trust=0.8, label="coarse")
+rot = lm(rot, res_fine, 25, trust=0.25, label="fine")
 rot_err = float(jnp.abs(rot - true_rot).max())
 print(f"recovered rotation {np.asarray(rot)} "
       f"(true {np.asarray(true_rot)}), max err {rot_err:.4f} deg "

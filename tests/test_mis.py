@@ -232,3 +232,27 @@ def test_alias_nee_estimator_matches_cdf():
         ests.append(np.asarray(c.mean(axis=0)))
     rel = np.abs(ests[0] - ests[1]) / np.maximum(ests[0], 1e-9)
     assert (rel < 0.05).all(), ests
+
+
+def test_alias_sampler_renders_end_to_end():
+    """env_sampler="alias" must run through the full integrator (catches
+    wiring regressions) and converge to the same image as "cdf" within
+    Monte-Carlo tolerance."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from scenes import cornell_scene
+    from elevenrender_tpu.render.integrator import (BEAUTY, init_state,
+                                                    render_samples_jit)
+
+    scene, config, ir = cornell_scene(res=16, spp=8)
+    config = config.replace(compat=False, max_bounces=2)
+    imgs = {}
+    for sampler in ("cdf", "alias"):
+        cfg = config.replace(env_sampler=sampler)
+        st = render_samples_jit(cfg, ir, init_state(cfg), 8)
+        imgs[sampler] = np.asarray(st["passes"][BEAUTY, :, :3])
+        assert np.isfinite(imgs[sampler]).all()
+        assert imgs[sampler].max() > 0
+    diff = np.abs(imgs["cdf"] - imgs["alias"]).mean()
+    scale = imgs["cdf"].mean()
+    assert diff < 0.5 * scale, (diff, scale)
