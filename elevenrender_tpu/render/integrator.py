@@ -139,7 +139,19 @@ def recommended_samples_per_dispatch(config, ir, default: int = 8) -> int:
     sample per dispatch keeps a comfortable margin; the 66k VMEM-mode
     step is ~2.3 s, so the default 8 stays.  This is a perf/stability
     knob only — results are identical at any chunking.
+
+    Overrides (VERDICT r4 weak #6 — the ~60 s watchdog is a property of
+    THIS tunnel, not of TPUs): config.samples_per_dispatch > 0 wins over
+    the auto heuristic, and the ELEVENRT_SAMPLES_PER_DISPATCH env var
+    wins over both — so a non-tunneled server can batch dispatches
+    without code changes.
     """
+    import os
+    env = os.environ.get("ELEVENRT_SAMPLES_PER_DISPATCH")
+    if env:
+        return max(int(env), 1)
+    if getattr(config, "samples_per_dispatch", 0) > 0:
+        return config.samples_per_dispatch
     tris = ir["tris"]["verts"].shape[0]
     mode = _resolve_trace_mode(config, ir)
     if mode in ("pallas_stream", "packet") and tris > 360_000:

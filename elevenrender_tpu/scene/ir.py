@@ -107,6 +107,14 @@ class RenderConfig:
     # ops/sort.counting_order — O(n), tile-granular grouping; A/B knob,
     # docs/PERF.md 'next levers' #1).
     sort_impl: str = "argsort"
+    # Samples per jitted dispatch: 0 = auto
+    # (integrator.recommended_samples_per_dispatch, which encodes the
+    # tunnel-attached worker's ~60 s single-dispatch wall-time envelope
+    # — docs/PERF.md).  Deployments without that watchdog can raise it
+    # here or via the ELEVENRT_SAMPLES_PER_DISPATCH env var (the env var
+    # wins) to amortize launch overhead at stream scale.  Results are
+    # identical at any chunking.
+    samples_per_dispatch: int = 0
     # Dedicated shadow-launch sort keyed on the NEE gates (VERDICT r4
     # #7): the shared per-bounce permutation is keyed on `alive`, so
     # gate-failed lanes stay scattered through live tiles as
