@@ -29,17 +29,25 @@ def _expand_bits10(v):
 
 
 def morton_key(origin, direction, bounds_min, bounds_max,
-               dir_major: bool = False):
+               dir_major: bool = False, dir_bits: int = 3):
     """30-bit Morton code of the origin (scene-normalized) combined with
-    the 3-bit direction octant -> uint32 sort key.
+    a direction class -> uint32 sort key.
 
     ``dir_major=False`` (default): position-major — ``Morton << 3 |
     octant``; tiles are spatially compact with mixed directions.
-    ``dir_major=True``: octant-major — ``octant << 30 | Morton``; rays
-    split into 8 pure-direction classes first, so every tile is
-    single-octant (tighter slab unions; the walk's sign ordering is then
-    exact per tile) at the cost of splitting spatial clusters that
-    straddle octants.  A/B knob (RenderConfig.sort_dir_major).
+    ``dir_major=True``: direction-major — direction class in the top
+    bits; rays split into pure-direction classes first, so every tile
+    shares a direction cone (tighter slab unions; the walk's sign
+    ordering is then exact per tile) at the cost of splitting spatial
+    clusters that straddle classes.  A/B knob (RenderConfig
+    .sort_dir_major).
+
+    ``dir_bits`` (direction-major only): 3 = the 8 sign octants; >3 =
+    an equirectangular direction grid with dir_bits total bits (half on
+    each spherical coordinate), trading position bits for finer
+    direction cones — secondary/shadow directions spread over the whole
+    sphere, so finer cones can cut each tile's node union further
+    (RenderConfig.sort_dir_bits).
     """
     ext = jnp.maximum(bounds_max - bounds_min, 1e-12)
     q = jnp.clip((origin - bounds_min) / ext, 0.0, 1.0)
@@ -47,6 +55,18 @@ def morton_key(origin, direction, bounds_min, bounds_max,
     code = (_expand_bits10(qi[..., 0])
             | (_expand_bits10(qi[..., 1]) << jnp.uint32(1))
             | (_expand_bits10(qi[..., 2]) << jnp.uint32(2)))
+    if dir_major and dir_bits > 3:
+        from .texture import spherical_mapping
+        bu = (dir_bits + 1) // 2
+        bv = dir_bits - bu
+        u, v = spherical_mapping(direction)
+        ui = jnp.clip((u * (1 << bu)).astype(jnp.uint32), 0,
+                      jnp.uint32((1 << bu) - 1))
+        vi = jnp.clip((v * (1 << bv)).astype(jnp.uint32), 0,
+                      jnp.uint32((1 << bv) - 1))
+        dclass = (ui << jnp.uint32(bv)) | vi
+        return ((dclass << jnp.uint32(32 - dir_bits))
+                | (code >> jnp.uint32(dir_bits - 2)))
     octant = ((direction[..., 0] > 0).astype(jnp.uint32)
               | ((direction[..., 1] > 0).astype(jnp.uint32) << jnp.uint32(1))
               | ((direction[..., 2] > 0).astype(jnp.uint32) << jnp.uint32(2)))
@@ -114,7 +134,8 @@ def counting_order(key, bits: int = 8, chunk: int = 2048):
 
 
 def sort_for_packets(origin, direction, bounds_min, bounds_max, mask=None,
-                     dir_major: bool = False, impl: str = "argsort"):
+                     dir_major: bool = False, impl: str = "argsort",
+                     dir_bits: int = 3):
     """Returns (order, inverse) permutations: ``origin[order]`` is
     packet-coherent; scatter results back with ``result[inverse]``.
 
@@ -127,7 +148,7 @@ def sort_for_packets(origin, direction, bounds_min, bounds_max, mask=None,
     stable counting sort, counting_order — tile-granular grouping at
     O(n); RenderConfig.sort_impl)."""
     key = morton_key(origin, direction, bounds_min, bounds_max,
-                     dir_major=dir_major)
+                     dir_major=dir_major, dir_bits=dir_bits)
     if mask is not None:
         key = jnp.where(mask, key, jnp.uint32(0xFFFFFFFF))
     if impl == "counting":

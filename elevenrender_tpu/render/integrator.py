@@ -233,7 +233,8 @@ def _trace(config, ir, ray_o, ray_d, mask=None, perm=None,
             order, inverse = sort_for_packets(
                 ray_o, ray_d, ir["bvh"]["node_bmin"][0],
                 ir["bvh"]["node_bmax"][0], mask=mask,
-                dir_major=config.sort_dir_major, impl=config.sort_impl)
+                dir_major=config.sort_dir_major, impl=config.sort_impl,
+                dir_bits=config.sort_dir_bits)
         ray_o = ray_o[order]
         ray_d = ray_d[order]
     else:
@@ -519,7 +520,8 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0,
             order, inverse = sort_for_packets(
                 hd["position"], wibrdf, ir["bvh"]["node_bmin"][0],
                 ir["bvh"]["node_bmax"][0], mask=alive,
-                dir_major=config.sort_dir_major, impl=config.sort_impl)
+                dir_major=config.sort_dir_major, impl=config.sort_impl,
+                dir_bits=config.sort_dir_bits)
 
         if merge_lights:
             rng, r_l = rng_mod.next_float_masked(rng, shade)
@@ -573,7 +575,8 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0,
                     so2, sd2, ir["bvh"]["node_bmin"][0],
                     ir["bvh"]["node_bmax"][0], mask=g2,
                     dir_major=config.sort_dir_major,
-                    impl=config.sort_impl)
+                    impl=config.sort_impl,
+                    dir_bits=config.sort_dir_bits)
             both_idx, both_t = _trace(
                 config, ir, so2, sd2, mask=g2,
                 perm=perm2,
@@ -594,7 +597,8 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0,
                 perm_s = sort_for_packets(
                     shadow_o, wihdri, ir["bvh"]["node_bmin"][0],
                     ir["bvh"]["node_bmax"][0], mask=g_hdri,
-                    dir_major=config.sort_dir_major, impl=config.sort_impl)
+                    dir_major=config.sort_dir_major, impl=config.sort_impl,
+                dir_bits=config.sort_dir_bits)
             else:
                 perm_s = (order, inverse) if use_sort else None
             s_idx, _ = _trace(config, ir, shadow_o, wihdri, mask=g_hdri,

@@ -102,6 +102,11 @@ class RenderConfig:
     # Results are invariant (the permutation is inverted); only equal-t
     # shared-edge tie resolution can differ per tile grouping.
     sort_dir_major: bool = True
+    # Direction-class bits for the direction-major sort keys: 3 = sign
+    # octants (r4 behavior); >3 = an equirect direction grid with that
+    # many total bits, trading position bits for finer direction cones
+    # (ops/sort.morton_key).  A/B knob.
+    sort_dir_bits: int = 3
     # Per-bounce sort implementation: "argsort" (full XLA comparison
     # sort) or "counting" (top-8-bit stable counting sort,
     # ops/sort.counting_order — O(n), tile-granular grouping; A/B knob,
