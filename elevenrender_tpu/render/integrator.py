@@ -295,6 +295,26 @@ def _generate_hitdata(config, ir, hit, ray_d):
     tu, tv = hit["tu"], hit["tv"]
     used = config.tex_slots_used
 
+    # ONE packed [M, 19] gather for every float material parameter
+    # instead of ~20 per-field gathers: the forward difference is noise,
+    # but in reverse mode each gather's backward is a 1M-lane scatter-add
+    # into the tiny table — per bounce, per VJP.  Collapsing them to one
+    # scatter cut the gradient accumulator's replay pass measurably
+    # (docs/PERF.md r5).  The concat is over [M, *] leaves (tiny), so
+    # parameter gradients still arrive on the NAMED leaves.
+    _scalar_fields = ("roughness", "metallic", "opacity", "transmission",
+                      "clearcoat", "anisotropic", "eta", "specular",
+                      "subsurface", "sheen", "clearcoat_gloss",
+                      "specular_tint", "sheen_tint")
+    table = jnp.concatenate(
+        [mats["albedo"], mats["emission"]]
+        + [mats[s][:, None] for s in _scalar_fields], axis=1)
+    row = table[m]  # [..., 19] — the one gather
+    base_albedo = row[..., 0:3]
+    base_emission = row[..., 3:6]
+    base_scalar = {s: row[..., 6 + i]
+                   for i, s in enumerate(_scalar_fields)}
+
     def tex_rgb(slot, fallback_rgb):
         if not used[slot]:
             return fallback_rgb
@@ -312,12 +332,12 @@ def _generate_hitdata(config, ir, hit, ray_d):
         return jnp.where(tid >= 0, val, fallback)
 
     hd = {}
-    hd["albedo"] = tex_rgb(0, mats["albedo"][m])
-    hd["emission"] = tex_rgb(1, mats["emission"][m])
-    hd["roughness"] = tex_x(2, mats["roughness"][m])
-    hd["metallic"] = tex_x(3, mats["metallic"][m])
-    hd["opacity"] = tex_x(5, mats["opacity"][m])
-    hd["transmission"] = tex_x(6, mats["transmission"][m])
+    hd["albedo"] = tex_rgb(0, base_albedo)
+    hd["emission"] = tex_rgb(1, base_emission)
+    hd["roughness"] = tex_x(2, base_scalar["roughness"])
+    hd["metallic"] = tex_x(3, base_scalar["metallic"])
+    hd["opacity"] = tex_x(5, base_scalar["opacity"])
+    hd["transmission"] = tex_x(6, base_scalar["transmission"])
 
     # Normal mapping (kernel.cpp:135-149): nearest fetch, y flipped.
     if used[4]:
@@ -337,10 +357,10 @@ def _generate_hitdata(config, ir, hit, ray_d):
 
     for k in ("clearcoat", "anisotropic", "eta", "specular",
               "subsurface", "sheen"):
-        hd[k] = mats[k][m]
-    hd["clearcoatGloss"] = mats["clearcoat_gloss"][m]
-    hd["specularTint"] = mats["specular_tint"][m]
-    hd["sheenTint"] = mats["sheen_tint"][m]
+        hd[k] = base_scalar[k]
+    hd["clearcoatGloss"] = base_scalar["clearcoat_gloss"]
+    hd["specularTint"] = base_scalar["specular_tint"]
+    hd["sheenTint"] = base_scalar["sheen_tint"]
 
     hd["gnormal"] = hit["gnormal"]
     hd["tangent"] = hit["tangent"]
