@@ -192,12 +192,15 @@ def materials_to_ir(materials) -> dict:
 
 def build_ir(scene, config: RenderConfig | None = None,
              bvh_depth: int | None = None,
-             packed_attrs: bool = False) -> tuple[RenderConfig, dict]:
+             packed_attrs: bool = True) -> tuple[RenderConfig, dict]:
     """Flatten a host Scene into (RenderConfig, device IR pytree).
 
-    packed_attrs=True additionally stores a [T, 40] per-tri attribute
-    matrix so hit shading gathers one row instead of six arrays (a TPU
-    gather-throughput optimization; costs 160B/tri extra HBM)."""
+    packed_attrs (default True since r5) additionally stores a [T, 40]
+    per-tri attribute matrix so hit shading gathers one row instead of
+    six arrays — TPU gathers are near-serial per lane, so this measured
+    -14% on the record-forward step and -45% on the gradient
+    accumulator's replay VJP (docs/PERF.md r5).  Costs 160B/tri extra
+    HBM (160 MB at 1M tris); pass False to trade the speed back."""
     if config is None:
         config = RenderConfig()
 

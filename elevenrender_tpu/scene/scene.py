@@ -95,7 +95,7 @@ class Scene:
     def tri_count(self) -> int:
         return sum(m.tri_count for m in self.meshes)
 
-    def build(self, config=None, bvh_depth=None, packed_attrs=False):
+    def build(self, config=None, bvh_depth=None, packed_attrs=True):
         """Flatten to (RenderConfig, device IR)."""
         from .ir import build_ir
         return build_ir(self, config=config, bvh_depth=bvh_depth,
