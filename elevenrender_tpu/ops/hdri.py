@@ -51,28 +51,41 @@ def build_alias_table(p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return prob.astype(np.float32), alias
 
 
-def pack_hdri(hdri) -> dict:
+def pack_hdri(hdri, alias_table: bool | None = None) -> dict:
     """Host HDRI -> device dict {img [H,W,3], cdf [H*W+1], rsum,
-    alias_prob/alias_idx [H*W]}."""
+    + alias_prob/alias_idx [H*W] when the alias table is built}.
+
+    ``alias_table``: True = build, False = skip, None (default) = build
+    when the env is small enough that the sequential Vose partition is
+    cheap (<= 2^20 texels; ~1 s of host loop per 2M texels).  build_ir
+    forces True when the config actually selects the alias sampler, so
+    compat/cdf builds never pay for a table they will not read.  An IR
+    packed without the table that then renders with
+    env_sampler="alias" fails with a clear trace-time error
+    (integrator NEE site) — pass alias_table=True when packing an env
+    by hand for an alias A/B."""
     img = hdri.texture.data
     if img.shape[2] < 3:
         img = np.repeat(img[:, :, :1], 3, axis=2)
     img3 = img[:, :, :3].astype(np.float32)
-    lum = img3.sum(axis=2).reshape(-1).astype(np.float64)
-    rsum = max(hdri.radiance_sum, 1e-30)
-    n = lum.size
-    psum = lum.sum()
-    p = lum / psum if psum > 0 else np.full(n, 1.0 / n)
-    aprob, aidx = build_alias_table(p)
-    return {
+    out = {
         "img": jnp.asarray(img3),
         "cdf": jnp.asarray(hdri.cdf.astype(np.float32)),
         # Guarded so an all-black env yields pdf 0 (-> NEE term zeroed in
         # native mode) instead of 0/0 NaN killing every sample.
-        "rsum": jnp.asarray(np.float32(rsum)),
-        "alias_prob": jnp.asarray(aprob),
-        "alias_idx": jnp.asarray(aidx),
+        "rsum": jnp.asarray(np.float32(max(hdri.radiance_sum, 1e-30))),
     }
+    n = img3.shape[0] * img3.shape[1]
+    if alias_table is None:
+        alias_table = n <= (1 << 20)
+    if alias_table:
+        lum = img3.sum(axis=2).reshape(-1).astype(np.float64)
+        psum = lum.sum()
+        p = lum / psum if psum > 0 else np.full(n, 1.0 / n)
+        aprob, aidx = build_alias_table(p)
+        out["alias_prob"] = jnp.asarray(aprob)
+        out["alias_idx"] = jnp.asarray(aidx)
+    return out
 
 
 def binary_search_host(arr: np.ndarray, value: float, length: int) -> int:
@@ -146,22 +159,28 @@ def sample_env_exact(env, r1):
     return count % W, count // W
 
 
-def sample_env_alias(env, r1):
+def sample_env_alias(env, r1, r2):
     """O(1) alias-table texel sampling (RenderConfig.env_sampler="alias").
 
-    Uses the single-uniform trick: u*N selects the bucket, its FRACTION
-    decides bucket-vs-alias — so the sampler consumes exactly one draw
-    (RNG-stream compatible with sample_env_exact, a drop-in knob).  Two
-    flat gathers replace the CDF binary search's log2(H*W) gather chain
-    — the win grows with HDRI size (a 2k x 1k env is 21 search steps).
-    Exactly proportional to texel luminance by construction; the pdf of
-    the jittered continuous sampler is unchanged (env_pdf_uv)."""
+    r1 selects the bucket (j = floor(r1*N)); r2 decides bucket-vs-alias
+    against prob[j].  A DEDICATED threshold draw is required for
+    correctness at large HDRIs: the classic single-uniform trick (reuse
+    frac(r1*N)) quantizes the fraction to float32's leftover mantissa —
+    at N = 2^21 a ray with r1 in [0.5, 1) has only 3 fraction bits, so
+    thresholds collapse to eighths and the realized distribution
+    deviates from the luminance-proportional density env_pdf_uv reports
+    (a real bias in exactly the big-env regime this sampler targets).
+
+    Two flat gathers replace the CDF binary search's log2(H*W) gather
+    chain — the win grows with HDRI size (a 2k x 1k env is 21 search
+    steps).  Exactly proportional to texel luminance by construction;
+    the pdf of the jittered continuous sampler is unchanged
+    (env_pdf_uv)."""
     H, W, _ = env["img"].shape
     n = H * W
-    u = jnp.clip(r1, 0.0, 1.0 - 1e-7) * n
-    j = jnp.clip(u.astype(jnp.int32), 0, n - 1)
-    frac = u - j.astype(jnp.float32)
-    take_alias = frac >= env["alias_prob"][j]
+    j = jnp.clip((jnp.clip(r1, 0.0, 1.0 - 1e-7) * n).astype(jnp.int32),
+                 0, n - 1)
+    take_alias = r2 >= env["alias_prob"][j]
     count = jnp.where(take_alias, env["alias_idx"][j], j)
     return count % W, count // W
 

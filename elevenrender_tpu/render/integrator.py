@@ -505,10 +505,20 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0,
             nv = sy.astype(jnp.float32) / jnp.float32(H)
         else:
             if config.env_sampler == "alias":
+                if "alias_prob" not in env:
+                    raise ValueError(
+                        "env_sampler='alias' but this IR was packed "
+                        "without an alias table (pack_hdri skipped it — "
+                        "large env under a compat/cdf build config). "
+                        "Rebuild with the alias config, pack the env "
+                        "with pack_hdri(..., alias_table=True), or set "
+                        "env_sampler='cdf'.")
                 # O(1) alias-table texel pick (two gathers) instead of
-                # the log(H*W) CDF search — same single draw, same
-                # jittered pdf.
-                sx, sy = hdri_ops.sample_env_alias(env, r_hdri)
+                # the log(H*W) CDF search; the threshold needs its own
+                # draw (float32 fraction reuse is biased at large
+                # HDRIs — see ops/hdri.sample_env_alias).
+                rng, r_al = rng_mod.next_float_masked(rng, shade)
+                sx, sy = hdri_ops.sample_env_alias(env, r_hdri, r_al)
             else:
                 sx, sy = hdri_ops.sample_env_exact(env, r_hdri)
             # Uniform jitter WITHIN the chosen texel: the sampler's true

@@ -33,17 +33,30 @@ def _placeholder(position, view_dir, normal, gnormal, tu, tv):
 
 
 _REGISTRY: list = [_placeholder] * MAX_SHADERS
+# Bumped on every mutation; build_ir bakes it into the STATIC RenderConfig
+# (shader_version) so a rebind after a compile forces a retrace — the
+# registry is read at trace time, and without this a cached executable
+# would keep the OLD shader body baked in while the server logs success.
+_VERSION: int = 0
+
+
+def registry_version() -> int:
+    return _VERSION
 
 
 def register_shader(slot: int, fn) -> None:
+    global _VERSION
     if not (0 <= slot < MAX_SHADERS):
         raise ValueError(f"shader slot must be in [0, {MAX_SHADERS})")
     _REGISTRY[slot] = fn
+    _VERSION += 1
 
 
 def reset_shaders() -> None:
+    global _VERSION
     for i in range(MAX_SHADERS):
         _REGISTRY[i] = _placeholder
+    _VERSION += 1
 
 
 def _checker(position, view_dir, normal, gnormal, tu, tv):

@@ -30,6 +30,11 @@ from ..ops.texture import FILTER_NONE, pack_atlas
 MAP_SLOT_ORDER = ("albedo", "emission", "roughness", "metallic", "normal",
                   "opacity", "transmission")
 
+
+def _shader_registry_version() -> int:
+    from ..render.shaders import registry_version
+    return registry_version()
+
 MAT_SCALARS = ("opacity", "roughness", "metallic", "clearcoat_gloss",
                "clearcoat", "anisotropic", "eta", "transmission", "specular",
                "specular_tint", "sheen_tint", "subsurface", "sheen")
@@ -155,6 +160,11 @@ class RenderConfig:
     tex_slots_used: tuple = (True, True, True, True, True, True, True)
     tex_uniform_filter: int = -1
     use_shaders: bool = True
+    # Shader-registry version at build time (render/shaders._VERSION):
+    # shader bodies are read at TRACE time, so this static field makes a
+    # rebind (load_osl_material / register_shader) a cache MISS instead
+    # of silently reusing an executable with the old body baked in.
+    shader_version: int = 0
     # Count ALIVE rays (path segments + shadow segments actually needing a
     # result) into state["ray_count"] — for honest bench accounting; the
     # lockstep wavefront always pays 2*max_bounces launches regardless.
@@ -268,7 +278,14 @@ def build_ir(scene, config: RenderConfig | None = None,
         },
         "materials": materials_to_ir(scene.materials),
         "atlas": pack_atlas(scene.textures),
-        "env": pack_hdri(scene.hdri),
+        # Force the alias table when this build's config selects the
+        # alias sampler; otherwise pack_hdri's size-gated auto applies
+        # (so a later config.replace(env_sampler="alias") keeps working
+        # for all but very large envs).
+        "env": pack_hdri(scene.hdri,
+                         alias_table=(True if (not config.compat
+                                               and config.env_sampler
+                                               == "alias") else None)),
         "camera": {
             "position": jnp.asarray(scene.camera.position, jnp.float32),
             "rotation": jnp.asarray(scene.camera.rotation, jnp.float32),
@@ -304,5 +321,6 @@ def build_ir(scene, config: RenderConfig | None = None,
         tex_uniform_filter=(filters[0] if len(filters) == 1
                             else (FILTER_NONE if not filters else -1)),
         use_shaders=bool((shader_ids >= 0).any()),
+        shader_version=_shader_registry_version(),
     )
     return config, ir

@@ -284,18 +284,28 @@ class CommandSession:
           load_osl_material --path spec.json   # same keys in JSON
 
         Unknown shader names and missing arguments keep the reference's
-        no-op behavior (log + OK) so legacy clients are unaffected."""
+        no-op behavior (log + OK) so legacy clients are unaffected —
+        including EVERY malformed-input path (bad --slot, unreadable
+        --path, out-of-range slot): the reply must always be sent, or
+        the client deadlocks in its ok-wait (a raise here would be
+        swallowed by handle_command's catch-all WITHOUT replying)."""
         from ..render import shaders as shader_registry
-        spec = {}
-        if path:
-            with open(path) as f:
-                spec = json.load(f)
-        if "material" in flags and flags["material"]:
-            spec["material"] = flags["material"][0]
-        if "shader" in flags and flags["shader"]:
-            spec["shader"] = flags["shader"][0]
-        if "slot" in flags and flags["slot"]:
-            spec["slot"] = int(flags["slot"][0])
+        try:
+            spec = {}
+            if path:
+                with open(path) as f:
+                    spec = json.load(f)
+            if "material" in flags and flags["material"]:
+                spec["material"] = flags["material"][0]
+            if "shader" in flags and flags["shader"]:
+                spec["shader"] = flags["shader"][0]
+            if "slot" in flags and flags["slot"]:
+                spec["slot"] = int(flags["slot"][0])
+        except Exception as e:  # noqa: BLE001 — malformed input = no-op
+            log.error("load_osl_material: malformed request (%s); ignoring",
+                      e)
+            self.send(Message.ok())
+            return
 
         name = spec.get("shader")
         mat_name = spec.get("material")
@@ -315,7 +325,21 @@ class CommandSession:
         if slot is None:
             slot = self._shader_slots.get(
                 name, len(self._shader_slots) % shader_registry.MAX_SHADERS)
+            if (name not in self._shader_slots
+                    and len(self._shader_slots)
+                    >= shader_registry.MAX_SHADERS):
+                log.warning(
+                    "load_osl_material: all %d shader slots bound; "
+                    "auto-assigning %r to slot %d EVICTS the shader "
+                    "previously there (materials bound to that slot "
+                    "change appearance)",
+                    shader_registry.MAX_SHADERS, name, slot)
         slot = int(slot)
+        if not (0 <= slot < shader_registry.MAX_SHADERS):
+            log.error("load_osl_material: slot %d out of range [0, %d); "
+                      "ignoring", slot, shader_registry.MAX_SHADERS)
+            self.send(Message.ok())
+            return
         shader_registry.register_shader(slot, fn)
         self._shader_slots[name] = slot
 

@@ -54,7 +54,7 @@ if HDRI_RES:
                       (HDRI_RES // 2, HDRI_RES, 3)).astype(np.float32)
     big[HDRI_RES // 8, HDRI_RES // 3] = [200.0, 180.0, 150.0]
     ir = dict(ir)
-    ir["env"] = pack_hdri(HDRI(Texture("big", big)))
+    ir["env"] = pack_hdri(HDRI(Texture("big", big)), alias_table=True)
     print(f"env replaced: {HDRI_RES}x{HDRI_RES // 2}", flush=True)
 
 cfgs = [config.replace(**{FIELD: v}) for v in VALUES]

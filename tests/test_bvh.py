@@ -223,8 +223,12 @@ def test_shadow_sort_does_not_change_render():
             ir2["lights"] = {
                 "pos": jnp.asarray([[0.0, 1.5, -1.0]], jnp.float32),
                 "rad": jnp.asarray([[5.0, 5.0, 5.0]], jnp.float32)}
-        a = np.asarray(render_samples_jit(cfg, ir2, init_state(cfg), 2)
-                       ["passes"])
+        # Baselines must differ explicitly: shadow_sort defaults True
+        # since r5, so an implicit baseline would compare the same
+        # config to itself.
+        cfg_off = cfg.replace(shadow_sort=False)
+        a = np.asarray(render_samples_jit(cfg_off, ir2, init_state(cfg_off),
+                                          2)["passes"])
         cfg_s = cfg.replace(shadow_sort=True)
         b = np.asarray(render_samples_jit(cfg_s, ir2, init_state(cfg_s), 2)
                        ["passes"])

@@ -34,9 +34,14 @@ def test_cornell_renders():
 
 
 def test_packed_attr_gather_matches():
-    """The [T,40] packed attribute path renders identically."""
+    """The [T,40] packed attribute path renders identically to the
+    per-array fallback.  packed_attrs defaults True since r5, so the
+    UNPACKED side must be requested explicitly — cornell_scene's default
+    build would otherwise make this packed-vs-packed."""
     scene, config, ir = cornell_scene(res=16, spp=2)
-    config = config.replace(max_bounces=2)
+    config, ir = scene.build(packed_attrs=False)
+    config = config.replace(sample_target=2, compat=True, max_bounces=2)
+    assert "packed" not in ir["tris"]
     r1 = Renderer(config, ir)
     r1.step(2)
 

@@ -185,12 +185,16 @@ def test_alias_table_exact_proportionality():
     np.add.at(rec, alias, (1.0 - prob) / n)
     np.testing.assert_allclose(rec, p, atol=1e-7)
 
-    # Stratified sweep through the sampler itself (img 8x8 = 64 texels).
+    # Stratified sweep through the sampler itself (img 8x8 = 64 texels):
+    # r1 stratified over buckets, r2 stratified within each bucket (the
+    # dedicated threshold draw — see sample_env_alias).
     img = (p.reshape(8, 8, 1) / 3.0).repeat(3, axis=2).astype(np.float32)
     env = pack_hdri(HDRI(Texture("e", img)))
     N = 200_000
     r = jnp.asarray(((np.arange(N) + 0.5) / N).astype(np.float32))
-    sx, sy = sample_env_alias(env, r)
+    r2 = jnp.asarray((((np.arange(N) * 64) % N) / N + 0.5 / N
+                      ).astype(np.float32))
+    sx, sy = sample_env_alias(env, r, r2)
     flat = np.asarray(sy) * 8 + np.asarray(sx)
     hist = np.bincount(flat, minlength=64) / N
     np.testing.assert_allclose(hist, p, atol=2e-3)
@@ -219,9 +223,11 @@ def test_alias_nee_estimator_matches_cdf():
     vN = jnp.broadcast_to(v_vec, (N, 3))
     nN = jnp.broadcast_to(n_vec, (N, 3))
 
+    r_thr = jnp.asarray(key_rng.uniform(0, 1, N).astype(np.float32))
     ests = []
     for sampler in (sample_env_exact, sample_env_alias):
-        sx, sy = sampler(env, r)
+        sx, sy = (sampler(env, r) if sampler is sample_env_exact
+                  else sampler(env, r, r_thr))
         nu = (sx.astype(jnp.float32) + ju) / imgW
         nv = (sy.astype(jnp.float32) + jv) / imgH
         wi = -normalize(reverse_spherical_mapping(nu, nv))
@@ -244,12 +250,15 @@ def test_alias_sampler_renders_end_to_end():
     from elevenrender_tpu.render.integrator import (BEAUTY, init_state,
                                                     render_samples_jit)
 
-    scene, config, ir = cornell_scene(res=16, spp=8)
+    scene, config, ir = cornell_scene(res=16, spp=32)
     config = config.replace(compat=False, max_bounces=2)
+    # The alias sampler draws a dedicated threshold uniform, so its RNG
+    # stream (and hence its noise) is fully independent of the cdf
+    # render's — this is a convergence comparison, not a per-pixel one.
     imgs = {}
     for sampler in ("cdf", "alias"):
         cfg = config.replace(env_sampler=sampler)
-        st = render_samples_jit(cfg, ir, init_state(cfg), 8)
+        st = render_samples_jit(cfg, ir, init_state(cfg), 32)
         imgs[sampler] = np.asarray(st["passes"][BEAUTY, :, :3])
         assert np.isfinite(imgs[sampler]).all()
         assert imgs[sampler].max() > 0
