@@ -235,10 +235,40 @@ def _trace(config, ir, ray_o, ray_d, mask=None, perm=None,
                 ir["bvh"]["node_bmax"][0], mask=mask,
                 dir_major=config.sort_dir_major, impl=config.sort_impl,
                 dir_bits=config.sort_dir_bits)
-        ray_o = ray_o[order]
-        ray_d = ray_d[order]
+        # Only the Pallas any-hit kernels consume per-lane exclude/t_max
+        # in SORTED order; packet/per_ray emulate occlusion after the
+        # inverse, against the original-order arrays.
+        sort_occl = occl and mode in ("pallas", "pallas_stream")
+        # Tri ids must survive the float row exactly: VALUE conversion
+        # (not bitcast — measured: XLA routes the rows through float
+        # paths that FLUSH subnormal payloads to 0 and canonicalize the
+        # NaN that -1 bitcasts to).  int32 -> float32 is exact below
+        # 2^24; scenes at/past 16.7M tris fall back to narrow gathers.
+        packed_io = (config.packed_sort_io
+                     and tris.shape[0] < (1 << 24))
+        if packed_io:
+            # ONE wide-row gather for every per-lane payload instead of
+            # 2-4 narrow ones: TPU gather cost is per-INDEX (near-serial
+            # lanes), so o+d(+exclude+t_max) ride one [N, 6|8] row.
+            cols = [ray_o, ray_d]
+            if sort_occl:
+                cols += [exclude.astype(jnp.float32)[:, None],
+                         t_max[:, None]]
+            packed = jnp.concatenate(cols, axis=1)[order]
+            ray_o = packed[:, 0:3]
+            ray_d = packed[:, 3:6]
+            if sort_occl:
+                exclude = packed[:, 6].astype(jnp.int32)
+                t_max = packed[:, 7]
+        else:
+            ray_o = ray_o[order]
+            ray_d = ray_d[order]
+            if sort_occl:
+                exclude = exclude[order]
+                t_max = t_max[order]
     else:
         order = inverse = None
+        packed_io = False
 
     if mode in ("pallas", "pallas_stream"):
         from ..ops.bvh_pallas import traverse_pallas
@@ -254,13 +284,18 @@ def _trace(config, ir, ray_o, ray_d, mask=None, perm=None,
                                  sub=sub,
                                  order=config.trace_order,
                                  leaf_aabb=config.leaf_aabb,
-                                 exclude=(exclude[order] if occl and
-                                          order is not None else exclude),
-                                 t_max=(t_max[order] if occl and
-                                        order is not None else t_max))
+                                 exclude=exclude, t_max=t_max)
         if inverse is not None:
-            idx = idx[inverse]
-            t = t[inverse]
+            if packed_io:
+                # The two result arrays ride one inverse-gather too
+                # (value conversion — see packed_io above).
+                res = jnp.stack([idx.astype(jnp.float32), t],
+                                axis=1)[inverse]
+                idx = res[:, 0].astype(jnp.int32)
+                t = res[:, 1]
+            else:
+                idx = idx[inverse]
+                t = t[inverse]
         return idx, t
     elif mode == "packet":
         idx, t = bvh_ops.traverse_packet(ir["bvh"], tris, ray_o, ray_d,

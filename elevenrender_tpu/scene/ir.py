@@ -117,6 +117,16 @@ class RenderConfig:
     # ops/sort.counting_order — O(n), tile-granular grouping; A/B knob,
     # docs/PERF.md 'next levers' #1).
     sort_impl: str = "argsort"
+    # Pack every per-lane sort payload (rays + exclude/t_max, and the
+    # trace results) into ONE wide row per gather: TPU gather cost is
+    # per-index, so 2-4 narrow gathers per trace collapse to one.  Tri
+    # ids ride as exact float32 VALUES (< 2^24; bitcasting was measured
+    # corrupted — subnormal flush + NaN canonicalization); scenes past
+    # 16.7M tris fall back automatically.  Default True since r5:
+    # -11% on the full step (1518 -> 1351 ms/sample,
+    # .runlogs/ab_packedio_66k.log); results invariant
+    # (tests/test_bvh.py::test_packed_sort_io_does_not_change_render).
+    packed_sort_io: bool = True
     # Samples per jitted dispatch: 0 = auto
     # (integrator.recommended_samples_per_dispatch, which encodes the
     # tunnel-attached worker's ~60 s single-dispatch wall-time envelope

@@ -233,3 +233,30 @@ def test_shadow_sort_does_not_change_render():
         b = np.asarray(render_samples_jit(cfg_s, ir2, init_state(cfg_s), 2)
                        ["passes"])
         np.testing.assert_array_equal(a, b)
+
+
+def test_packed_sort_io_does_not_change_render():
+    """packed_sort_io moves the same payloads through one wide-row
+    gather (tri ids as exact float32 VALUES — bitcasting was measured
+    corrupted by subnormal flush + NaN canonicalization); the image must
+    be bit-identical with the knob off."""
+    import numpy as np
+    import jax.numpy as jnp
+    from scenes import cornell_scene
+    from elevenrender_tpu.render.integrator import (init_state,
+                                                    render_samples_jit)
+
+    scene, config, ir = cornell_scene(res=16, spp=2)
+    ir2 = dict(ir)
+    ir2["lights"] = {"pos": jnp.asarray([[0.0, 1.5, -1.0]], jnp.float32),
+                     "rad": jnp.asarray([[5.0, 5.0, 5.0]], jnp.float32)}
+    for mode in ("packet", "pallas"):
+        cfg_off = config.replace(compat=False, trace_mode=mode,
+                                 max_bounces=3, n_lights=1, pallas_sub=8,
+                                 packed_sort_io=False)
+        a = np.asarray(render_samples_jit(cfg_off, ir2, init_state(cfg_off),
+                                          2)["passes"])
+        cfg_on = cfg_off.replace(packed_sort_io=True)
+        b = np.asarray(render_samples_jit(cfg_on, ir2, init_state(cfg_on),
+                                          2)["passes"])
+        np.testing.assert_array_equal(a, b, err_msg=mode)
