@@ -308,8 +308,14 @@ def _trace(config, ir, ray_o, ray_d, mask=None, perm=None,
                                   max_leaf=config.bvh_max_leaf)
         return emulate(idx, t)
     if inverse is not None:
-        idx = idx[inverse]
-        t = t[inverse]
+        if packed_io:
+            res = jnp.stack([idx.astype(jnp.float32), t],
+                            axis=1)[inverse]
+            idx = res[:, 0].astype(jnp.int32)
+            t = res[:, 1]
+        else:
+            idx = idx[inverse]
+            t = t[inverse]
     return emulate(idx, t)
 
 

@@ -114,8 +114,11 @@ class RenderConfig:
     sort_dir_bits: int = 3
     # Per-bounce sort implementation: "argsort" (full XLA comparison
     # sort) or "counting" (top-8-bit stable counting sort,
-    # ops/sort.counting_order — O(n), tile-granular grouping; A/B knob,
-    # docs/PERF.md 'next levers' #1).
+    # ops/sort.counting_order — O(n), tile-granular grouping; measured
+    # 1.30x WORSE end-to-end, kept as the documented negative).  NOTE
+    # (ADVICE r4): counting materializes a [C, chunk, 257] one-hot +
+    # cumsum — ~1 GB transient per 1M keys, scaling linearly — so at
+    # large resolutions it also risks HBM OOM on top of the slowdown.
     sort_impl: str = "argsort"
     # Pack every per-lane sort payload (rays + exclude/t_max, and the
     # trace results) into ONE wide row per gather: TPU gather cost is
@@ -146,10 +149,12 @@ class RenderConfig:
     # (tests/test_bvh.py::test_shadow_sort_does_not_change_render).
     shadow_sort: bool = True
     # Native-mode env texel sampler: "alias" = O(1) Walker alias table
-    # (two gathers; ops/hdri.sample_env_alias); "cdf" = exact
-    # searchsorted CDF inversion (log(H*W) gather chain).  Both consume
-    # one draw and share the jittered continuous pdf; estimates are
-    # different-but-unbiased sample streams.  Default "alias" since r5:
+    # (two gathers; ops/hdri.sample_env_alias — consumes a dedicated
+    # threshold draw on top of the texel draw, so its RNG stream is NOT
+    # interchangeable with cdf's); "cdf" = exact searchsorted CDF
+    # inversion (log(H*W) gather chain, one draw).  Both share the
+    # jittered continuous pdf; estimates are different-but-unbiased
+    # sample streams.  Default "alias" since r5:
     # -27% on the full step at a 2k x 1k HDRI (2659 -> 1945 ms/sample,
     # .runlogs/ab_envsampler_2k.log), parity-to-noise at small envs.
     # Compat mode always uses the reference's quirky binary search.
@@ -288,14 +293,16 @@ def build_ir(scene, config: RenderConfig | None = None,
         },
         "materials": materials_to_ir(scene.materials),
         "atlas": pack_atlas(scene.textures),
-        # Force the alias table when this build's config selects the
-        # alias sampler; otherwise pack_hdri's size-gated auto applies
-        # (so a later config.replace(env_sampler="alias") keeps working
-        # for all but very large envs).
+        # Force the alias table whenever the build config's env_sampler
+        # is "alias" (the default) — keying on compat too broke the
+        # ubiquitous build-then-replace(compat=False) pattern for large
+        # envs.  A compat-only session with a big HDRI can skip the
+        # build cost by setting env_sampler="cdf" in its config; an
+        # explicit "cdf" build falls back to pack_hdri's size-gated
+        # auto so later small-env knob flips keep working.
         "env": pack_hdri(scene.hdri,
-                         alias_table=(True if (not config.compat
-                                               and config.env_sampler
-                                               == "alias") else None)),
+                         alias_table=(True if config.env_sampler == "alias"
+                                      else None)),
         "camera": {
             "position": jnp.asarray(scene.camera.position, jnp.float32),
             "rotation": jnp.asarray(scene.camera.rotation, jnp.float32),

@@ -321,19 +321,40 @@ class CommandSession:
                       sorted(shader_registry.NAMED_SHADERS))
             self.send(Message.ok())
             return
+        # Validate EVERYTHING before mutating anything: the no-op
+        # contract means a failed request must leave the registry and
+        # bindings untouched (an early register_shader would silently
+        # change other materials bound to that slot at the next rebuild).
+        mat = next((m for m in self.scene.materials if m.name == mat_name),
+                   None)
+        if mat is None:
+            log.error("load_osl_material: material %r not loaded; ignoring",
+                      mat_name)
+            self.send(Message.ok())
+            return
         slot = spec.get("slot")
         if slot is None:
-            slot = self._shader_slots.get(
-                name, len(self._shader_slots) % shader_registry.MAX_SHADERS)
-            if (name not in self._shader_slots
-                    and len(self._shader_slots)
-                    >= shader_registry.MAX_SHADERS):
-                log.warning(
-                    "load_osl_material: all %d shader slots bound; "
-                    "auto-assigning %r to slot %d EVICTS the shader "
-                    "previously there (materials bound to that slot "
-                    "change appearance)",
-                    shader_registry.MAX_SHADERS, name, slot)
+            if name in self._shader_slots:
+                slot = self._shader_slots[name]
+            else:
+                # First FREE slot (one not bound by any name), so an
+                # explicit binding at slot k is never silently evicted
+                # while free slots remain; only a truly full registry
+                # wraps, with a warning.
+                used = set(self._shader_slots.values())
+                free = [s for s in range(shader_registry.MAX_SHADERS)
+                        if s not in used]
+                if free:
+                    slot = free[0]
+                else:
+                    slot = len(self._shader_slots) % \
+                        shader_registry.MAX_SHADERS
+                    log.warning(
+                        "load_osl_material: all %d shader slots bound; "
+                        "auto-assigning %r to slot %d EVICTS the shader "
+                        "previously there (materials bound to that slot "
+                        "change appearance)",
+                        shader_registry.MAX_SHADERS, name, slot)
         slot = int(slot)
         if not (0 <= slot < shader_registry.MAX_SHADERS):
             log.error("load_osl_material: slot %d out of range [0, %d); "
@@ -342,14 +363,6 @@ class CommandSession:
             return
         shader_registry.register_shader(slot, fn)
         self._shader_slots[name] = slot
-
-        mat = next((m for m in self.scene.materials if m.name == mat_name),
-                   None)
-        if mat is None:
-            log.error("load_osl_material: material %r not loaded; ignoring",
-                      mat_name)
-            self.send(Message.ok())
-            return
         mat.albedo_shader_id = slot
         self.scene.dirty = True
         log.info("Bound shader %r (slot %d) to material %r albedo",
