@@ -429,7 +429,7 @@ def _kernel(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
 def _kernel_frontier(nodes_ref, leaf_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                      dx_ref, dy_ref, dz_ref, idx_out, t_out, *, depth,
-                     max_leaf, K, stack_smem, stack_rows=0,
+                     max_leaf, K, stack_smem, stack_rows,
                      tri_scratch=None, dma_sem=None, rows2=0,
                      counts_out=None, excl_ref=None, tmax_ref=None):
     """Frontier-K walk: each while-loop step pops up to K stack entries

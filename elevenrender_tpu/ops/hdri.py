@@ -79,12 +79,25 @@ def pack_hdri(hdri, alias_table: bool | None = None) -> dict:
     if alias_table is None:
         alias_table = n <= (1 << 20)
     if alias_table:
-        lum = img3.sum(axis=2).reshape(-1).astype(np.float64)
-        psum = lum.sum()
-        p = lum / psum if psum > 0 else np.full(n, 1.0 / n)
-        aprob, aidx = build_alias_table(p)
-        out["alias_prob"] = jnp.asarray(aprob)
-        out["alias_idx"] = jnp.asarray(aidx)
+        # Cache the built table on the HDRI object (like its cdf): the
+        # partition is a sequential host loop (~1 s per 2M texels) and
+        # build_ir reruns on every scene tweak while the env itself
+        # rarely changes.  HDRI instances are effectively frozen after
+        # load (mirror/pixel_shift happen on the Texture BEFORE HDRI
+        # construction), so identity caching is safe.
+        cached = getattr(hdri, "_alias_tables", None)
+        if cached is None or cached[0] != n:
+            lum = img3.sum(axis=2).reshape(-1).astype(np.float64)
+            psum = lum.sum()
+            p = lum / psum if psum > 0 else np.full(n, 1.0 / n)
+            aprob, aidx = build_alias_table(p)
+            cached = (n, jnp.asarray(aprob), jnp.asarray(aidx))
+            try:
+                hdri._alias_tables = cached
+            except AttributeError:  # exotic HDRI stand-ins in tests
+                pass
+        out["alias_prob"] = cached[1]
+        out["alias_idx"] = cached[2]
     return out
 
 

@@ -149,7 +149,13 @@ def recommended_samples_per_dispatch(config, ir, default: int = 8) -> int:
     import os
     env = os.environ.get("ELEVENRT_SAMPLES_PER_DISPATCH")
     if env:
-        return max(int(env), 1)
+        try:
+            return max(int(env), 1)
+        except ValueError:
+            from ..utils.logging import get_logger
+            get_logger().warning(
+                "ELEVENRT_SAMPLES_PER_DISPATCH=%r is not an integer; "
+                "ignoring the override", env)
     if getattr(config, "samples_per_dispatch", 0) > 0:
         return config.samples_per_dispatch
     tris = ir["tris"]["verts"].shape[0]
@@ -503,7 +509,10 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0,
             hit_idx = jax.lax.stop_gradient(
                 jnp.take(trace_cache["hit"], bounce, axis=0))
         else:
-            hit_idx, hit_t = _trace(
+            # hit distance discarded: full_hit recomputes t/position
+            # differentiably from the (detached) hit tri — this is also
+            # why the replay branch above needs only the hit ids.
+            hit_idx, _ = _trace(
                 config, ir, ray_o, ray_d, mask=alive,
                 perm=(order, inverse) if use_sort else None)
 

@@ -355,6 +355,13 @@ class CommandSession:
                         "previously there (materials bound to that slot "
                         "change appearance)",
                         shader_registry.MAX_SHADERS, name, slot)
+                    # Drop stale entries for the evicted slot, or a
+                    # later bind of the evicted NAME would silently
+                    # reuse this slot and evict the new shader without
+                    # any warning.
+                    for other in [k for k, v in self._shader_slots.items()
+                                  if v == slot]:
+                        del self._shader_slots[other]
         slot = int(slot)
         if not (0 <= slot < shader_registry.MAX_SHADERS):
             log.error("load_osl_material: slot %d out of range [0, %d); "

@@ -177,6 +177,19 @@ def read_bmp(path: str) -> np.ndarray:
     (comp,) = struct.unpack("<I", data[30:34])
     if comp not in (0, 3) or bpp not in (24, 32):
         raise ValueError(f"BMP: unsupported bpp={bpp} compression={comp}")
+    if comp == 3:
+        # BI_BITFIELDS carries explicit channel masks; this decoder
+        # assumes the standard BGRA layout — honor it only when the
+        # masks actually say so, rather than silently swapping channels.
+        # Masks sit at absolute offset 54 both for the classic
+        # 40-byte-header+appended-masks layout and for V2+ headers that
+        # embed them.
+        if len(data) < 66:
+            raise ValueError("BMP: BITFIELDS header truncated")
+        rm, gm, bm = struct.unpack("<III", data[54:66])
+        if (rm, gm, bm) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise ValueError("BMP: non-BGRA BITFIELDS masks unsupported "
+                             f"(r=0x{rm:08x} g=0x{gm:08x} b=0x{bm:08x})")
     flip = h > 0  # positive height = bottom-up rows
     h = abs(h)
     c = bpp // 8

@@ -141,6 +141,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG: marker expected")
+        # 0xFF fill bytes before a marker are legal padding (T.81
+        # B.1.1.2) — skip them, or the 0xFF would be read as a marker
+        # with a bogus length that derails the whole parse.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         m = data[pos + 1]
         pos += 2
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
@@ -196,6 +201,13 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
 
     if comps is None or scan is None:
         raise ValueError("JPEG: missing SOF/SOS")
+    if len(scan) != len(comps):
+        # Baseline sequential may legally split components over several
+        # scans (non-interleaved); this decoder only implements the
+        # single interleaved scan — decoding the first scan with
+        # interleaved MCU geometry would silently garble the image.
+        raise ValueError("JPEG: multi-scan (non-interleaved) baseline "
+                         "not supported")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
