@@ -98,6 +98,16 @@ def pack_hdri(hdri, alias_table: bool | None = None) -> dict:
                 pass
         out["alias_prob"] = cached[1]
         out["alias_idx"] = cached[2]
+        if n < (1 << 24):
+            # Packed [n, 2] (prob, idx-as-exact-f32) row so the sampler
+            # pays ONE row gather instead of two scalar gathers — same
+            # per-index gather economics as packed_sort_io
+            # (scripts/microbench_gather.py: a [1M, 2] row gather costs
+            # what a scalar gather costs).  idx rides as a float32
+            # VALUE, exact below 2^24; larger envs keep the two-table
+            # path.
+            out["alias_packed"] = jnp.stack(
+                [cached[1], cached[2].astype(jnp.float32)], axis=1)
     return out
 
 
@@ -193,8 +203,15 @@ def sample_env_alias(env, r1, r2):
     n = H * W
     j = jnp.clip((jnp.clip(r1, 0.0, 1.0 - 1e-7) * n).astype(jnp.int32),
                  0, n - 1)
-    take_alias = r2 >= env["alias_prob"][j]
-    count = jnp.where(take_alias, env["alias_idx"][j], j)
+    if "alias_packed" in env:
+        # One [n, 2] row gather instead of two scalar gathers (see
+        # pack_hdri) — identical values (idx is exact f32 below 2^24).
+        row = env["alias_packed"][j]
+        take_alias = r2 >= row[..., 0]
+        count = jnp.where(take_alias, row[..., 1].astype(jnp.int32), j)
+    else:
+        take_alias = r2 >= env["alias_prob"][j]
+        count = jnp.where(take_alias, env["alias_idx"][j], j)
     return count % W, count // W
 
 
@@ -237,6 +254,30 @@ def env_pdf_uv(env, u, v):
     lum = val[..., 0] + val[..., 1] + val[..., 2]
     sin_t = jnp.maximum(jnp.sin(v * jnp.pi), 1e-8)
     return (lum / env["rsum"]) * W * H / (2.0 * jnp.pi * jnp.pi * sin_t)
+
+
+def env_fetch_pdf_uv(env, u, v):
+    """Fused texel fetch + native-sampler pdf at continuous (u, v): ONE
+    image gather serving both consumers.
+
+    The integrator previously fetched the same texel twice per env
+    lookup site (env_fetch_uv for the radiance, env_pdf_uv for the MIS
+    density) — and a wavefront-scale gather costs ~30 ms per MILLION
+    indices on v5e regardless of row width (XLA lowers it per-index:
+    scripts/microbench_gather.py, 0.1-5 GB/s effective), so the
+    duplicate fetch was pure step time.  The pdf here is env_pdf_uv's
+    exact expression with the luminance taken from the fetched texel;
+    values match the unfused pair bit-for-bit for in-range (u, v).
+
+    Returns (rgb [..., 3], pdf [...])."""
+    H, W, _ = env["img"].shape
+    x = jnp.clip(jnp.trunc(u * W).astype(jnp.int32), 0, W - 1)
+    y = jnp.clip(jnp.trunc(v * H).astype(jnp.int32), 0, H - 1)
+    val = env["img"][y, x]
+    lum = val[..., 0] + val[..., 1] + val[..., 2]
+    sin_t = jnp.maximum(jnp.sin(v * jnp.pi), 1e-8)
+    pdf = (lum / env["rsum"]) * W * H / (2.0 * jnp.pi * jnp.pi * sin_t)
+    return val, pdf
 
 
 def balance_heuristic(a, b):

@@ -86,6 +86,12 @@ def counting_order(key, bits: int = 8, chunk: int = 2048):
     Kept as the documented negative behind RenderConfig.sort_impl
     ("argsort" stays the default); tests pin its correctness.
 
+    Memory note (ADVICE r4): the one-hot + cumsum materializes a
+    [C, chunk, 257] int32 transient — ~1.05 GB per 1M keys, scaling
+    linearly with key count and with ``chunk`` — so enabling
+    sort_impl="counting" at multi-megapixel resolutions adds that much
+    HBM pressure per bounce on top of the measured 1.30x slowdown.
+
     Packet tracing only needs TILE-granular grouping (order within a
     4096-ray tile is irrelevant), so 2^bits buckets with STABLE
     within-bucket order suffice — and stability means within-bucket

@@ -325,6 +325,36 @@ def _trace(config, ir, ray_o, ray_d, mask=None, perm=None,
     return emulate(idx, t)
 
 
+@jax.custom_vjp
+def _gather_rows_mm_bwd(table, m):
+    """``table[m]`` whose backward is a one-hot matmul reduce instead of
+    the scatter-add autodiff would emit.
+
+    The cotangent of a [npix]-indexed gather into a tiny [M, K] table is
+    a maximally-colliding scatter-add — 38 ms per bounce per VJP at 1M
+    lanes (scripts/microbench_scatter.py).  The matmul form
+    (onehot[npix, M].T @ ct at Precision.HIGHEST) rides the MXU's
+    reduction tree instead: same result up to f32 summation order,
+    ~25% faster per backward.  Forward values are bit-identical to the
+    gather (it IS the gather)."""
+    return table[m]
+
+
+def _gather_rows_fwd(table, m):
+    return table[m], (m, table.shape[0])
+
+
+def _gather_rows_bwd(res, ct):
+    m, M = res
+    oh = (m[..., None] == jnp.arange(M, dtype=m.dtype)).astype(ct.dtype)
+    dt = jax.lax.dot_general(oh, ct, (((0,), (0,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST)
+    return dt, None
+
+
+_gather_rows_mm_bwd.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def _generate_hitdata(config, ir, hit, ray_d):
     """generateHitData (kernel.cpp:76-172): texture-or-constant fetch per
     channel, tangent-space normal mapping, the ^2.2 quirk.
@@ -356,7 +386,23 @@ def _generate_hitdata(config, ir, hit, ray_d):
     table = jnp.concatenate(
         [mats["albedo"], mats["emission"]]
         + [mats[s][:, None] for s in _scalar_fields], axis=1)
-    row = table[m]  # [..., 19] — the one gather
+    if config.material_fetch == "mm_bwd" and table.shape[0] <= 64:
+        # Gather forward, matmul backward (see RenderConfig
+        # .material_fetch): the forward stays the cheap row gather; the
+        # custom VJP replaces reverse mode's maximally-colliding
+        # [npix] -> [M] scatter-add with a one-hot matmul reduce.
+        row = _gather_rows_mm_bwd(table, m)
+    elif config.material_fetch == "onehot" and table.shape[0] <= 64:
+        # One-hot matmul BOTH ways — measured a wash end-to-end (the
+        # matmul forward gives back what the matmul backward saves,
+        # .runlogs/profile_grad_r05.log); kept as the measurement knob.
+        oh = (m[..., None] == jnp.arange(table.shape[0], dtype=m.dtype)
+              ).astype(jnp.float32)
+        row = jax.lax.dot_general(
+            oh, table, (((oh.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+    else:
+        row = table[m]  # [..., 19] — the one gather
     base_albedo = row[..., 0:3]
     base_emission = row[..., 3:6]
     base_scalar = {s: row[..., 6 + i]
@@ -517,15 +563,17 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0,
                 perm=(order, inverse) if use_sort else None)
 
         miss = alive & (hit_idx < 0)
-        env_val = hdri_ops.env_radiance(env, ray_d)
         if config.compat:
+            env_val = hdri_ops.env_radiance(env, ray_d)
             env_w = jnp.ones((npix,), jnp.float32)
         else:
             # Balance-heuristic weight for the BRDF-sampled env hit,
             # against the jittered env sampler's exact density at this
-            # continuous direction.
+            # continuous direction.  Fused fetch: radiance and pdf share
+            # ONE texel gather (gathers are per-index on TPU —
+            # ops/hdri.env_fetch_pdf_uv).
             u, v = spherical_mapping(-ray_d)
-            hpdf = hdri_ops.env_pdf_uv(env, u, v)
+            env_val, hpdf = hdri_ops.env_fetch_pdf_uv(env, u, v)
             bw = hdri_ops.balance_heuristic(prev_brdf_pdf, hpdf)
             env_w = jnp.where(had_bounce, bw, 1.0)
         light = light + where3(miss, reduction * env_val * env_w[..., None],
@@ -692,17 +740,21 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0,
             cache["occ"] = cache["occ"].at[bounce].set(occluded)
             if merge_lights:
                 cache["locc"] = cache["locc"].at[bounce].set(l_occluded)
-        hdri_val = hdri_ops.env_fetch_uv(env, nu, nv)
-        hdri_val = where3(occluded, jnp.zeros_like(hdri_val), hdri_val)
         f_nee = disney_eval(hd, wo, n, wihdri)
         if config.compat:
+            hdri_val = hdri_ops.env_fetch_uv(env, nu, nv)
+            hdri_val = where3(occluded, jnp.zeros_like(hdri_val), hdri_val)
             # Reference divides by the raw corner-pdf (NaN on zero-radiance
             # texels, later discarded by the NaN guard) with no MIS weight.
             hdri_pdf = hdri_ops.env_pdf(env, sx, sy)
             hdri_int = hdri_val * f_nee * jnp.abs(dot(wihdri, n))[..., None] / \
                 hdri_pdf[..., None]
         else:
-            hdri_pdf = hdri_ops.env_pdf_uv(env, nu, nv)
+            # Fused: the NEE radiance fetch and its pdf share ONE texel
+            # gather (ops/hdri.env_fetch_pdf_uv); the pdf reads the
+            # UNOCCLUDED texel (occlusion only zeroes the radiance).
+            hdri_val, hdri_pdf = hdri_ops.env_fetch_pdf_uv(env, nu, nv)
+            hdri_val = where3(occluded, jnp.zeros_like(hdri_val), hdri_val)
             nee_brdf_pdf = disney_pdf(hd, wo, n, wihdri)
             hw = hdri_ops.balance_heuristic(hdri_pdf, nee_brdf_pdf)
             hdri_int = (hdri_val * f_nee * jnp.abs(dot(wihdri, n))[..., None]

@@ -159,6 +159,22 @@ class RenderConfig:
     # .runlogs/ab_envsampler_2k.log), parity-to-noise at small envs.
     # Compat mode always uses the reference's quirky binary search.
     env_sampler: str = "alias"
+    # Material-parameter fetch: "gather" = table[m] row gather (backward
+    # is a maximally-colliding [npix]->[M] scatter-add per bounce per
+    # VJP); "mm_bwd" = same gather forward but a custom VJP whose
+    # backward is a one-hot matmul reduce at Precision.HIGHEST (same
+    # result up to f32 summation order; microbench: 38 -> 29 ms per
+    # backward at 1M lanes / M=2, scripts/microbench_scatter.py);
+    # "onehot" = one-hot matmul BOTH directions (exact forward too —
+    # measured a wash end-to-end: the matmul forward costs what the
+    # backward saves).  mm_bwd/onehot are guarded to M <= 64 at trace
+    # time (the [npix, M] operand scales with the material count);
+    # larger tables fall back to the gather.  Default "mm_bwd" since r5:
+    # replay VJP 503 -> 453 ms/sample, forward unchanged — two-pass
+    # fwd+bwd 1846 -> 1796 ms/sample (+2.8% headline,
+    # .runlogs/profile_grad_r05_mmbwd.log); gradients equal up to f32
+    # summation order (tests/test_grad_and_sharding.py).
+    material_fetch: str = "mm_bwd"
     # Rematerialize each bounce in reverse-mode AD (jax.checkpoint on
     # the bounce body): the backward pass recomputes a bounce's
     # intermediates instead of storing them.  Required for gradients at

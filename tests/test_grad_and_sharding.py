@@ -144,6 +144,34 @@ def test_trace_cache_replay_matches_retrace():
                                    rtol=1e-5, atol=1e-7)
 
 
+def test_material_fetch_mm_bwd_matches_gather():
+    """material_fetch="mm_bwd" (gather forward, one-hot-matmul backward —
+    the r5 default) must produce the same loss and the same material
+    gradients as the plain scatter-add backward, up to f32 summation
+    order; "onehot" (matmul both ways) must too, exactly in forward
+    (one-hot rows have a single 1.0 coefficient)."""
+    from elevenrender_tpu.render.grad import render_loss_and_grad
+    config, ir = small_config()
+    params = {"materials": float_subtree(ir["materials"])}
+    state = init_state(config)
+    img = np.asarray(render_sample_jit(config, ir, state)[
+        "passes"][BEAUTY, :, :3])
+    target = jnp.asarray(img * 1.5 + 0.1)
+
+    results = {}
+    for mf in ("gather", "mm_bwd", "onehot"):
+        cfg = config.replace(material_fetch=mf)
+        results[mf] = render_loss_and_grad(cfg, ir, params, target, 1)
+    for mf in ("mm_bwd", "onehot"):
+        assert np.isclose(float(results["gather"][0]),
+                          float(results[mf][0]), rtol=1e-6), mf
+        for a, b in zip(jax.tree.leaves(results["gather"][1]),
+                        jax.tree.leaves(results[mf][1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-7,
+                                       err_msg=mf)
+
+
 def test_remat_bounces_gradients_match():
     """remat_bounces (jax.checkpoint on the bounce body — the memory
     knob that makes 1M-tri 1024² gradients fit HBM, docs/PERF.md) must
