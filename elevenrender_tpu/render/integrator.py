@@ -565,19 +565,17 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0,
         miss = alive & (hit_idx < 0)
         if config.compat:
             env_val = hdri_ops.env_radiance(env, ray_d)
-            env_w = jnp.ones((npix,), jnp.float32)
+            light = light + where3(miss, reduction * env_val,
+                                   jnp.zeros_like(light))
         else:
-            # Balance-heuristic weight for the BRDF-sampled env hit,
-            # against the jittered env sampler's exact density at this
-            # continuous direction.  Fused fetch: radiance and pdf share
-            # ONE texel gather (gathers are per-index on TPU —
-            # ops/hdri.env_fetch_pdf_uv).
-            u, v = spherical_mapping(-ray_d)
-            env_val, hpdf = hdri_ops.env_fetch_pdf_uv(env, u, v)
-            bw = hdri_ops.balance_heuristic(prev_brdf_pdf, hpdf)
-            env_w = jnp.where(had_bounce, bw, 1.0)
-        light = light + where3(miss, reduction * env_val * env_w[..., None],
-                               jnp.zeros_like(light))
+            # Native defers the miss-env contribution to the NEE block
+            # below: the miss lanes and the NEE (shade) lanes are
+            # DISJOINT, so one lane-selected texel gather serves the
+            # miss radiance+MIS-pdf AND the NEE radiance+pdf (gathers
+            # are per-index on TPU — every merged gather is step time
+            # back).  Per-lane results are unchanged: each lane takes
+            # exactly one of the two where3 terms, the other is 0.
+            u_miss, v_miss = spherical_mapping(-ray_d)
         alive = alive & ~miss
 
         tri = gather_tri(ir["tris"], jnp.maximum(hit_idx, 0))
@@ -750,11 +748,26 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0,
             hdri_int = hdri_val * f_nee * jnp.abs(dot(wihdri, n))[..., None] / \
                 hdri_pdf[..., None]
         else:
-            # Fused: the NEE radiance fetch and its pdf share ONE texel
-            # gather (ops/hdri.env_fetch_pdf_uv); the pdf reads the
-            # UNOCCLUDED texel (occlusion only zeroes the radiance).
-            hdri_val, hdri_pdf = hdri_ops.env_fetch_pdf_uv(env, nu, nv)
-            hdri_val = where3(occluded, jnp.zeros_like(hdri_val), hdri_val)
+            # ONE texel gather for the whole bounce's env needs: the
+            # miss lanes read (u_miss, v_miss), the NEE lanes read the
+            # sampled (nu, nv) — disjoint sets, so a lane-select merges
+            # the two fused fetches (radiance + pdf each,
+            # ops/hdri.env_fetch_pdf_uv) into a single gather.
+            sel_u = jnp.where(miss, u_miss, nu)
+            sel_v = jnp.where(miss, v_miss, nv)
+            env_rgb, env_pdf_sel = hdri_ops.env_fetch_pdf_uv(
+                env, sel_u, sel_v)
+            # Deferred miss-env contribution (see the trace site above):
+            # balance-heuristic weight of the BRDF-sampled env hit
+            # against the jittered env sampler's exact density.
+            bw = hdri_ops.balance_heuristic(prev_brdf_pdf, env_pdf_sel)
+            env_w = jnp.where(had_bounce, bw, 1.0)
+            light = light + where3(
+                miss, reduction * env_rgb * env_w[..., None],
+                jnp.zeros_like(light))
+            # NEE radiance + pdf; occlusion only zeroes the radiance.
+            hdri_val = where3(occluded, jnp.zeros_like(env_rgb), env_rgb)
+            hdri_pdf = env_pdf_sel
             nee_brdf_pdf = disney_pdf(hd, wo, n, wihdri)
             hw = hdri_ops.balance_heuristic(hdri_pdf, nee_brdf_pdf)
             hdri_int = (hdri_val * f_nee * jnp.abs(dot(wihdri, n))[..., None]

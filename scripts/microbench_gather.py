@@ -82,9 +82,9 @@ def marginal():
     @functools.partial(jax.jit, static_argnums=2)
     def chain(src, idx, r):
         def body(i, acc):
-            rows = src[(idx + acc.astype(jnp.int32)[:1]) % src.shape[0]]
+            rows = src[(idx + acc.astype(jnp.int32)) % src.shape[0]]
             return acc + rows[:, 0] * 1e-20
-        return jax.lax.fori_loop(0, r, body, jnp.zeros(src.shape[0:1],
+        return jax.lax.fori_loop(0, r, body, jnp.zeros(idx.shape,
                                                        jnp.float32))
 
     k = jax.random.PRNGKey(0)
@@ -111,9 +111,60 @@ def marginal():
               flush=True)
 
 
+
+
+def fold():
+    """Where is the table-row-count cliff, and does FOLDING a tall table
+    into fewer, wider rows (gather idx>>k, select group idx&(2^k-1))
+    beat the direct gather?"""
+    import functools
+    k = jax.random.PRNGKey(0)
+    perm = jax.random.permutation(k, N).astype(jnp.int32)
+
+    @jax.jit
+    def direct(src, idx):
+        return src[idx]
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def folded(srcf, idx, kbits):
+        g = srcf[idx >> kbits]                     # [N, (2^k)*C]
+        C = srcf.shape[1] >> kbits
+        grp = g.reshape(g.shape[0], 1 << kbits, C)
+        sub = (idx & ((1 << kbits) - 1))
+        return jnp.take_along_axis(
+            grp, sub[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+
+    def t(fn, *a):
+        for _ in range(3):
+            float(jnp.sum(fn(*a)))
+        best = None
+        for _ in range(REPS):
+            t0 = time.time()
+            float(jnp.sum(fn(*a)))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best * 1e3
+
+    for rows in (65536, 131072, 262144, 524288, 1048576):
+        src = jax.random.normal(k, (rows, 8))
+        idx = perm % rows
+        print(f"direct [{rows//1024}k,8]   {t(direct, src, idx):7.2f} ms",
+              flush=True)
+    src = jax.random.normal(k, (N, 8))
+    for kbits in (3, 4):
+        srcf = src.reshape(N >> kbits, (1 << kbits) * 8)
+        err = float(jnp.max(jnp.abs(folded(srcf, perm, kbits)
+                                    - direct(src, perm))))
+        print(f"folded [1M,8]->[{N>>kbits>>10}k,{(1<<kbits)*8}] "
+              f"{t(folded, srcf, perm, kbits):7.2f} ms (err {err:.1e})",
+              flush=True)
+
+
 if __name__ == "__main__":
     import sys
     if "--marginal" in sys.argv:
         marginal()
+    elif "--fold" in sys.argv:
+        fold()
     else:
         main()
