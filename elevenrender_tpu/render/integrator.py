@@ -177,8 +177,15 @@ def _uses_sort(config, ir) -> bool:
 
 
 def _trace(config, ir, ray_o, ray_d, mask=None, perm=None,
-           exclude=None, t_max=None):
+           exclude=None, t_max=None, sort=True):
     """Nearest-hit query (throwRay, kernel.cpp:218-240).
+
+    ``sort=False`` skips the packing permutation entirely for rays the
+    caller KNOWS are already coherent (the peeled bounce-0 camera rays,
+    which are pixel-ordered): applying the identity permutation is not
+    free — a gather at iota indices costs the same per-index price as a
+    random one (scripts/microbench_gather.py) — so bounce 0 was paying
+    two full wavefront gathers to reorder nothing.
 
     Mode selection is static (baked into the jitted program) — see
     _resolve_trace_mode.
@@ -230,7 +237,8 @@ def _trace(config, ir, ray_o, ray_d, mask=None, perm=None,
         ray_d = where3(mask, ray_d,
                        jnp.asarray([0.0, 0.0, 1.0], ray_d.dtype))
 
-    if mode in ("pallas", "pallas_stream", "packet") and config.sort_rays:
+    if mode in ("pallas", "pallas_stream", "packet") and config.sort_rays \
+            and sort:
         # Packet coherence: tiles must be spatially compact (ops/sort.py).
         if perm is not None:
             order, inverse = perm
@@ -545,7 +553,7 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0,
     else:
         cache0 = {}
 
-    def bounce_body(bounce, carry):
+    def bounce_body(bounce, carry, first=False):
         (rng, ray_o, ray_d, light, reduction, alive,
          aov_normal, aov_tangent, aov_bitangent, aov_albedo,
          prev_brdf_pdf, had_bounce, rays, order, inverse, cache) = carry
@@ -558,9 +566,14 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0,
             # hit distance discarded: full_hit recomputes t/position
             # differentiably from the (detached) hit tri — this is also
             # why the replay branch above needs only the hit ids.
+            # ``first`` (the peeled bounce 0): camera rays are already
+            # pixel-ordered and every lane is alive, so the identity
+            # permutation the carry holds is skipped outright — a gather
+            # at iota indices costs full per-index price (_trace).
             hit_idx, _ = _trace(
                 config, ir, ray_o, ray_d, mask=alive,
-                perm=(order, inverse) if use_sort else None)
+                perm=(order, inverse) if (use_sort and not first) else None,
+                sort=use_sort and not first)
 
         miss = alive & (hit_idx < 0)
         if config.compat:
@@ -830,10 +843,16 @@ def sample_radiance(config, ir, rng, npix, pixel_offset=0,
              prev_brdf_pdf, had_bounce, rays, order0, order0, cache0)
     body = (jax.checkpoint(bounce_body) if config.remat_bounces
             else bounce_body)
+    # Peel bounce 0 so its path trace statically skips the identity
+    # permutation (see bounce_body ``first``); bounces 1.. loop.
+    first_body = functools.partial(bounce_body, first=True)
+    if config.remat_bounces:
+        first_body = jax.checkpoint(first_body)
+    carry = first_body(0, carry)
     (rng, ray_o, ray_d, light, reduction, alive,
      aov_normal, aov_tangent, aov_bitangent, aov_albedo,
      prev_brdf_pdf, had_bounce, rays, _, _, cache) = jax.lax.fori_loop(
-        0, config.max_bounces, body, carry)
+        1, config.max_bounces, body, carry)
 
     light = jnp.clip(light, 0.0, config.clamp_radiance)
     ok = ~jnp.any(jnp.isnan(light), axis=-1)
